@@ -1,0 +1,110 @@
+"""Canonicalization: mention norms -> canonical entities with stable IDs.
+
+The analog of Plume's node-identity management: the concurrent identity map
+``nodeId.getOrElseUpdate(node, nextId)`` (drivers/base/.../IDriver.scala:19-20,
+91-98) guarantees "same node => same id".  Here identity is semantic (alias
+variants of one real-world entity must collapse), so the map is replaced by:
+
+  distinct norms -> LSH-verified similarity edges -> connected components ->
+  canonical name = lexicographic min norm in the component ->
+  entity_id = xxhash64(kind, canonical_name)   (resume-idempotent)
+
+Entity ``kind`` is resolved per component: the lexicographically smallest
+non-'entity' kind observed for any member norm, else 'entity' — deterministic
+regardless of partitioning.  ``aliases`` collects every member norm (the
+reference's list-valued node property, SchemaBuilder.scala:17,40-42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plume_spark.functions.ids import entity_id_col
+from plume_spark.operators.components import connected_components
+from plume_spark.operators.linking import verified_pairs
+
+
+def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:
+    """(norm, canonical_norm) over every distinct mention norm.
+
+    Norms not linked to anything are their own canonical (isolated nodes are
+    unioned back — connected_components only sees edge endpoints).
+    """
+    norms = mentions.select("norm").distinct()
+    kwargs = {} if tau is None else {"tau": tau}
+    edges = verified_pairs(norms, "norm", **kwargs)
+    cc = connected_components(edges, "norm_a", "norm_b").withColumnRenamed("node", "norm")
+    return (
+        norms.join(cc, "norm", "left")
+        .select("norm", F.coalesce("component", "norm").alias("canonical_norm"))
+    )
+
+
+def build_entities(mentions: DataFrame, tau: float | None = None) -> tuple[DataFrame, DataFrame]:
+    """Returns (entities, norm_to_entity).
+
+    entities:        entity_id, canonical_name, kind, aliases
+    norm_to_entity:  norm, entity_id   (the linking dictionary for triples)
+    """
+    comp = norm_components(mentions, tau)
+    # per-norm kind candidates (smallest non-'entity' kind per norm)
+    norm_kind = (
+        mentions.groupBy("norm")
+        .agg(
+            F.min(F.when(F.col("kind") != "entity", F.col("kind"))).alias("kind_hint")
+        )
+    )
+    member = comp.join(norm_kind, "norm", "left")
+    ent = (
+        member.groupBy("canonical_norm")
+        .agg(
+            F.min("kind_hint").alias("kind_hint"),
+            F.sort_array(F.collect_set("norm")).alias("aliases"),
+        )
+        .select(
+            F.col("canonical_norm").alias("canonical_name"),
+            F.coalesce("kind_hint", F.lit("entity")).alias("kind"),
+            "aliases",
+        )
+    )
+    entities = ent.select(
+        entity_id_col("kind", "canonical_name").alias("entity_id"),
+        "canonical_name",
+        "kind",
+        "aliases",
+    )
+    norm_to_entity = (
+        comp.join(
+            entities.select(
+                F.col("canonical_name").alias("canonical_norm"), "entity_id"
+            ),
+            "canonical_norm",
+        )
+        .select("norm", "entity_id")
+    )
+    return entities, norm_to_entity
+
+
+def canonicalize_triples(
+    raw_triples: DataFrame, norm_to_entity: DataFrame, broadcast_dict: bool = True
+) -> DataFrame:
+    """Rewrite raw (norm-keyed) triples to entity-id triples.
+
+    The norm->entity dictionary is small (distinct norms) — broadcast it so
+    the fact-table join is map-side (no shuffle of the triple stream).  At
+    dictionary sizes beyond broadcast limits, fall back to a shuffle join and
+    let AQE split the hot-entity skew.
+    """
+    d = norm_to_entity
+    if broadcast_dict:
+        d = F.broadcast(d)
+    subj_d = d.select(F.col("norm").alias("subj_norm"), F.col("entity_id").alias("subj"))
+    obj_d = d.select(F.col("norm").alias("obj_norm"), F.col("entity_id").alias("obj"))
+    return (
+        raw_triples.join(subj_d, "subj_norm")
+        .join(obj_d, "obj_norm")
+        .select(
+            "subj", "pred", "obj", "conv_id", "turn_idx", "src_mention", "obj_mention"
+        )
+    )

@@ -1,0 +1,78 @@
+"""Connected components by iterative salted hash-join label propagation.
+
+Reference analog: the worklist DFS traversals over AST edges
+(src/.../benchmarking/OverflowDbReadBenchmark.scala:52-78) are pointer-chasing
+on a single node; the Spark-native equivalent for canonicalization is
+label-propagation-to-fixpoint over the mention-similarity graph — the
+"iterative hash-join style, salted to kill skew" of the north rule.
+
+Algorithm (hash-to-min): every node starts labeled with its own id; each
+round, a node's label becomes the min of its own and all neighbors' labels;
+converged when no label changes.  For similarity graphs the components are
+shallow (alias clusters), so rounds ~ O(log(diameter)) and typically <= 3.
+
+Scale mechanics:
+* edges are symmetrized once, then each round is ONE shuffle (groupBy min);
+* ``localCheckpoint`` every CHECKPOINT_EVERY rounds truncates the lineage so
+  plans don't grow unboundedly (the classic iterative-Spark failure mode);
+* convergence is tested with a cheap aggregate, not a collect of labels;
+* hot nodes (a label adjacent to millions of edges — the hot-entity skew
+  slice) are handled by AQE skew-join splitting plus the min-aggregation
+  being a partial (map-side) combine: the groupBy(dst).min() does most work
+  before the shuffle, so a hot dst receives pre-combined partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 3
+MAX_ITERS = 50
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = MAX_ITERS
+) -> DataFrame:
+    """Return (node, component) where component = min node id in the component.
+
+    ``edges`` is an undirected pair list over any orderable node type
+    (string norms or long ids).  Isolated nodes are the caller's concern:
+    union them back with component = self.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # labels: node -> current component label (init: self)
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for i in range(max_iters):
+        # propagate: neighbor labels, min with own label — one shuffle round
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True) if (
+            i % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1
+        ) else new_labels.cache()
+        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels.withColumnRenamed("label", "component")

@@ -1,0 +1,229 @@
+"""Per-conversation mention + relation extraction.
+
+Reference analog: the abstract pass ``generateParts()`` + ``runOnPart(builder,
+part)`` (astcreator/.../PlumeForkJoinParallelCpgPass.scala:21,30) with the one
+concrete pass AstCreationPass.runOnPart (astcreator/.../AstCreationPass.scala:35-51):
+one independent part in, many nodes/edges out, exceptions tolerated per-part
+(AstCreationPass.scala:46-50).
+
+Spark recast: ``applyInPandas`` over ``groupBy("conv_id")`` — one pandas frame
+per conversation, sorted by ``turn_idx`` inside the UDF (the stable turn
+ordering the window materializes), emitting a single change-log frame that is
+then split per record kind (the 3-way ``collect { case ... }`` split of
+Neo4jDriver.scala:198-212).  All Python executes on Arrow batches; nothing in
+this module runs per-row on the JVM side.
+
+At 100 TB the groupBy(conv_id) shuffle is avoided by storing transcripts
+bucketed/partitioned by hash(conv_id) (Iceberg ``bucket(N, conv_id)``) so
+grouping is shuffle-free; in the sandbox the shuffle is explicit.
+
+The extraction grammar is the contract documented in plume_spark/generator.py;
+tests/oracle.py re-implements it independently in plain pandas as the golden
+reference.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from plume_spark.functions.textnorm import norm_py
+
+# predicate keyword -> (pred, subj_kind, obj_kind); multi-word first
+KEYWORDS = [
+    ("works at", "works_at", "person", "org"),
+    ("produces", "produces", "org", "artifact"),
+    ("visited", "visited", "person", "org"),
+    ("uses", "uses", "person", "tool"),
+    ("met", "met", "person", "person"),
+]
+FALLBACK_PRED = ("mentions", "entity", "entity")
+
+_TOKEN_RE = re.compile(r"\S+")
+_STRIP = ".,;:!?\"'()[]{}<>«»—–-"
+
+
+class Mention(NamedTuple):
+    surface: str
+    start: int
+    end: int
+
+
+def find_mentions(text: str) -> list[Mention]:
+    """Maximal runs of tokens whose stripped form starts with an uppercase
+    ASCII letter.  Pure function — shared contract with tests/oracle.py."""
+    mentions: list[Mention] = []
+    run: list[tuple[int, int]] = []
+    prev_idx = -2
+    for idx, m in enumerate(_TOKEN_RE.finditer(text)):
+        raw = m.group(0)
+        core = raw.strip(_STRIP)
+        if core and "A" <= core[0] <= "Z":
+            off = raw.find(core)
+            span = (m.start() + off, m.start() + off + len(core))
+            if prev_idx == idx - 1 and run:
+                run.append(span)
+            else:
+                if run:
+                    mentions.append(Mention(text[run[0][0] : run[-1][1]], run[0][0], run[-1][1]))
+                run = [span]
+            prev_idx = idx
+    if run:
+        mentions.append(Mention(text[run[0][0] : run[-1][1]], run[0][0], run[-1][1]))
+    return mentions
+
+
+def find_relations(text: str) -> list[dict]:
+    """Relations between consecutive mention pairs; FIRST keyword between the
+    two spans wins, else the 'mentions' fallback.  Returns dicts with mention
+    spans, pred, endpoint kinds."""
+    ms = find_mentions(text)
+    out = []
+    for left, right in zip(ms, ms[1:]):
+        between = text[left.end : right.start].lower()
+        best = None  # (pos, pred, sk, ok)
+        for kw, pred, sk, ok in KEYWORDS:
+            p = between.find(kw)
+            if p >= 0 and (best is None or p < best[0]):
+                best = (p, pred, sk, ok)
+        pred, sk, ok = (best[1], best[2], best[3]) if best else FALLBACK_PRED
+        out.append({"subj": left, "pred": pred, "obj": right, "subj_kind": sk, "obj_kind": ok})
+    return out
+
+
+def mention_kinds(text: str) -> dict[int, str]:
+    """span_start -> kind, from the first relation each mention joins."""
+    kinds: dict[int, str] = {}
+    for r in find_relations(text):
+        kinds.setdefault(r["subj"].start, r["subj_kind"])
+        kinds.setdefault(r["obj"].start, r["obj_kind"])
+    return kinds
+
+
+def _mention_id(conv_id: str, turn_idx: int, span_start: int) -> int:
+    """Stable 64-bit FNV-1a over the mention's natural key (resume-idempotent;
+    the analog of IDriver.scala:91-98 identity, but pure-functional)."""
+    h = 0xCBF29CE484222325
+    for b in f"{conv_id}|{turn_idx}|{span_start}".encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
+
+
+# change-log schema: one frame per pass, split per kind downstream (U2)
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("rec_kind", T.StringType()),  # 'mention' | 'triple'
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("mention_id", T.LongType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("norm", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("span_start", T.IntegerType()),
+        T.StructField("span_end", T.IntegerType()),
+        T.StructField("arg_index", T.IntegerType()),  # W2: positional rank in turn
+        T.StructField("pred", T.StringType()),
+        T.StructField("subj_norm", T.StringType()),
+        T.StructField("subj_kind", T.StringType()),
+        T.StructField("obj_norm", T.StringType()),
+        T.StructField("obj_kind", T.StringType()),
+        T.StructField("src_mention", T.StringType()),
+        T.StructField("obj_mention", T.StringType()),
+    ]
+)
+
+_EMPTY = {f.name: pd.Series(dtype="object") for f in CHANGELOG_SCHEMA.fields}
+
+
+def _extract_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+    """runOnPart analog: one conversation in, its change log out.
+    Per-part exception tolerance (AstCreationPass.scala:46-50): a turn that
+    raises is skipped, the pass continues."""
+    pdf = pdf.sort_values("turn_idx", kind="mergesort")  # stable turn ordering (W1)
+    rows: list[dict] = []
+    for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+        try:
+            if not isinstance(text, str) or not text:
+                continue
+            kinds = mention_kinds(text)
+            for ai, m in enumerate(find_mentions(text)):
+                rows.append(
+                    {
+                        "rec_kind": "mention",
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "mention_id": _mention_id(conv_id, int(turn_idx), m.start),
+                        "surface": m.surface,
+                        "norm": norm_py(m.surface),
+                        "kind": kinds.get(m.start, "entity"),
+                        "span_start": m.start,
+                        "span_end": m.end,
+                        "arg_index": ai,  # W2 ARGUMENT_INDEX analog
+                    }
+                )
+            for r in find_relations(text):
+                rows.append(
+                    {
+                        "rec_kind": "triple",
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "pred": r["pred"],
+                        "subj_norm": norm_py(r["subj"].surface),
+                        "subj_kind": r["subj_kind"],
+                        "obj_norm": norm_py(r["obj"].surface),
+                        "obj_kind": r["obj_kind"],
+                        "src_mention": r["subj"].surface,
+                        "obj_mention": r["obj"].surface,
+                    }
+                )
+        except Exception:
+            continue  # tolerate a bad turn, keep the part going
+    if not rows:
+        return pd.DataFrame(_EMPTY)
+    out = pd.DataFrame(rows)
+    for f in CHANGELOG_SCHEMA.fields:
+        if f.name not in out.columns:
+            out[f.name] = None
+    return out[[f.name for f in CHANGELOG_SCHEMA.fields]]
+
+
+def split_valid_rejects(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Error-path tolerance (P8): malformed rows are diverted, not fatal."""
+    bad = (
+        F.col("conv_id").isNull()
+        | F.col("turn_idx").isNull()
+        | F.col("text").isNull()
+        | (F.length("text") == 0)
+    )
+    return transcripts.filter(~bad), transcripts.filter(bad)
+
+
+def extract_changelog(transcripts: DataFrame) -> DataFrame:
+    """Parallel extraction pass: valid rows -> change-log DataFrame.
+
+    The ForkJoin ``parts.parallel().collect(supplier, accumulator, combiner)``
+    fold (PlumeForkJoinParallelCpgPass.scala:47-70) maps to
+    groupBy(conv_id).applyInPandas — Spark's task parallelism is the pool, the
+    implicit union of per-group outputs is the associative ``absorb``."""
+    valid, _ = split_valid_rejects(transcripts)
+    return valid.select("conv_id", "turn_idx", "text").groupBy("conv_id").applyInPandas(
+        lambda pdf: _extract_conv(pdf), schema=CHANGELOG_SCHEMA
+    )
+
+
+def split_changelog(changelog: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-kind partition of the change log (U2; Neo4jDriver.scala:198-212)."""
+    mentions = changelog.filter(F.col("rec_kind") == "mention").select(
+        "conv_id", "turn_idx", "mention_id", "surface", "norm", "kind",
+        "span_start", "span_end", "arg_index",
+    )
+    raw_triples = changelog.filter(F.col("rec_kind") == "triple").select(
+        "conv_id", "turn_idx", "subj_norm", "subj_kind", "pred",
+        "obj_norm", "obj_kind", "src_mention", "obj_mention",
+    )
+    return mentions, raw_triples
