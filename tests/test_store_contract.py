@@ -1,0 +1,149 @@
+"""Store contract tests — recast of the reference's parameterized driver
+fixture (drivers/base/src/test/.../PlumeDriverFixture.scala:41-110): bulk
+insert -> typed projection; directed edge existence (reverse false); MERGE
+idempotency; clear; export/import round trip; snapshot time travel."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from plume_spark.schemas import ENTITIES, TRIPLES
+from plume_spark.store import GraphStore
+
+E = dt.datetime(2025, 1, 1)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return GraphStore(spark, str(tmp_path / "graph"))
+
+
+def _fixture_frames(spark):
+    ents = spark.createDataFrame(
+        [
+            (1, "alice smith", "person", ["alice smith"]),
+            (2, "acme", "org", ["acme", "acme corp"]),
+            (3, "hammer3000", "tool", ["hammer3000"]),
+            (4, None, None, None),  # exercises defaults-on-read
+        ],
+        schema=ENTITIES,
+    )
+    trips = spark.createDataFrame(
+        [
+            (1, "works_at", 2, "c1", 0, "Alice Smith", "Acme Corp"),
+            (1, "uses", 3, "c1", 1, "Alice Smith", "Hammer3000"),
+        ],
+        schema=TRIPLES,
+    )
+    return ents, trips
+
+
+def test_bulk_write_projection_defaults(spark, store):
+    ents, trips = _fixture_frames(spark)
+    counts = store.bulk_write(ents, trips)
+    assert counts == {"entities": 4, "triples": 2}
+    # typed projection with defaults (P1): null canonical_name -> "<empty>"
+    proj = store.property_from_nodes("person", "canonical_name")
+    rows = {r["entity_id"]: r["canonical_name"] for r in proj.collect()}
+    assert rows == {1: "alice smith"}
+    all_names = {
+        r["canonical_name"]
+        for r in store.entities.read().select(
+            F.coalesce("canonical_name", F.lit("<empty>")).alias("canonical_name")
+        ).collect()
+    }
+    assert "<empty>" in all_names
+
+
+def test_directed_edge_exists(spark, store):
+    store.bulk_write(*_fixture_frames(spark))
+    assert store.node_exists(1) and store.node_exists(3)
+    assert not store.node_exists(99)
+    assert store.edge_exists(1, 2, "works_at")
+    assert not store.edge_exists(2, 1, "works_at")  # reverse must be false
+    assert not store.edge_exists(1, 2, "uses")
+
+
+def test_merge_idempotency(spark, store):
+    ents, trips = _fixture_frames(spark)
+    store.bulk_write(ents, trips)
+    counts = store.bulk_write(ents, trips)  # double write => no duplicates
+    assert counts == {"entities": 4, "triples": 2}
+    assert store.entities.read().count() == 4
+    assert store.triples.read().count() == 2
+
+
+def test_clear_and_time_travel(spark, store):
+    ents, trips = _fixture_frames(spark)
+    store.bulk_write(ents, trips)
+    v_before = store.entities._current_version()
+    store.clear()
+    assert store.entities.read().count() == 0
+    assert store.triples.read().count() == 0
+    # time travel to the pre-clear snapshot
+    assert store.entities.read(snapshot_id=v_before).count() == 4
+
+
+def test_export_import_round_trip(spark, store, tmp_path):
+    ents, trips = _fixture_frames(spark)
+    store.bulk_write(ents, trips)
+    out = str(tmp_path / "export")
+    store.export_json(out)
+    store.clear()
+    store.import_json(out)
+    assert store.entities.read().count() == 4
+    assert store.triples.read().count() == 2
+    assert store.edge_exists(1, 2, "works_at")
+    # graphml parity artifact is well-formed XML
+    gml = str(tmp_path / "g.graphml")
+    store.export_graphml(gml)
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(gml).getroot()
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    graph = root.find(f"{ns}graph")
+    assert len(graph.findall(f"{ns}node")) == 4
+    assert len(graph.findall(f"{ns}edge")) == 2
+
+
+def test_dangling_edge_check(spark, store):
+    ents, trips = _fixture_frames(spark)
+    store.bulk_write(ents, trips)
+    assert store.dangling_edges().count() == 0
+    store.triples.append(
+        spark.createDataFrame([(999, "uses", 3, "c9", 0, "X", "Y")], schema=TRIPLES)
+    )
+    assert store.dangling_edges().count() == 1
+
+
+def test_append_only_and_snapshot_diff(spark, store):
+    ents, trips = _fixture_frames(spark)
+    t = store.entities
+    v1 = t.append(ents)
+    v2 = t.append(
+        spark.createDataFrame([(10, "globex group", "org", ["globex group"])], schema=ENTITIES)
+    )
+    assert t.row_count() == 5
+    diff = t.changed_since(v1)
+    assert [r["entity_id"] for r in diff.collect()] == [10]
+    assert t.read(snapshot_id=v1).count() == 4 and v2 == v1 + 1
+
+
+def test_merge_upsert_and_delete_where(spark, store):
+    ents, _ = _fixture_frames(spark)
+    t = store.entities
+    t.append(ents)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, "alice m smith", "person", ["alice m smith"])], schema=ENTITIES
+        ),
+        ["entity_id"],
+    )
+    assert t.read().filter("entity_id = 1").collect()[0]["canonical_name"] == "alice m smith"
+    assert t.row_count() == 4
+    t.delete_where("kind = 'tool'")
+    assert t.read().filter("entity_id = 3").count() == 0
+    assert t.row_count() == 3
