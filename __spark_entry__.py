@@ -1,38 +1,609 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the spark-graft builder.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operator ids to runnable DataFrame builders;
+``oracle_sql()`` carries the DuckDB-equivalent SQL (same column names/types,
+computed identically — rounding is CAST(... AS DOUBLE) because DuckDB round()
+returns DECIMAL).  Entries without oracle SQL are genuinely non-SQL ops
+(pandas-UDF pipelines); the driver records rows-only checks for those.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from plume_spark import graft
+from plume_spark.operators import dedup, similarity, text, traversal
+from plume_spark.operators.extraction import extract_changelog, split_changelog
+from plume_spark.pipeline import run_pipeline, triples_with_names
+
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+LOOKUP_NAMES = [
+    "Customer#000000003",
+    "Customer#000000007",
+    "Customer#000000021",
+    "Customer#000000042",
+    "Customer#000000099",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full KG pipeline (extraction -> LSH linking -> CC
+    canonicalization -> triple materialize) over transcripts derived from
+    sf0.001.  tau=0.95: sequential customer names are near but distinct."""
+    t = graft.kg_transcripts(spark, "/root/testdata/sf0.001")
+    result = run_pipeline(t, tau=0.95)
+    return triples_with_names(result).orderBy("conv_id", "turn_idx")
+
+
+# --------------------------------------------------------------------------
+# queries — (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+
+def _q_w1(spark, sf):
+    t = graft.transcripts_from_events(spark, sf)
+    return t.filter(F.col("turn_idx") < 3).select("conv_id", "turn_idx", "role", "text")
+
+
+def _q_w2(spark, sf):
+    t = graft.transcripts_from_events(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.withColumn("prev_text", F.lag("text").over(w))
+        .filter(F.col("turn_idx") < 3)
+        .select("conv_id", "turn_idx", "prev_text")
+    )
+
+
+def _q_o1(spark, sf):
+    e = graft.load(spark, sf, "events")
+    return (
+        e.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "value")
+    )
+
+
+def _q_a1(spark, sf):
+    e = graft.load(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_a2(spark, sf):
+    e = graft.load(spark, sf, "events")
+    return e.filter(F.col("value") > 100).agg(F.count("*").alias("n"))
+
+
+def _q_a5(spark, sf):
+    e = graft.load(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("event_types")
+    )
+
+
+def _q_u1(spark, sf):
+    e = graft.load(spark, sf, "events")
+    hi = e.filter(F.col("value") > 150).select("event_type")
+    lo = e.filter(F.col("value") < 50).select("event_type")
+    return hi.union(lo).distinct()
+
+
+def _q_p1(spark, sf):
+    c = graft.load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce("c_mktsegment", F.lit("<empty>")).alias("segment"),
+        F.coalesce("c_acctbal", F.lit(-1.0)).alias("acctbal"),
+    )
+
+
+def _q_j1(spark, sf):
+    o = graft.load(spark, sf, "orders")
+    c = graft.load(spark, sf, "customer")
+    return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+def _q_p2(spark, sf):
+    o = graft.load(spark, sf, "orders")
+    c = graft.load(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.select(F.col("o_custkey").alias("custkey"))
+        .join(c.select(F.col("c_custkey").alias("custkey")), "custkey", "left_semi")
+        .distinct()
+    )
+
+
+def _q_p3(spark, sf):
+    o = graft.load(spark, sf, "orders")
+    li = graft.load(spark, sf, "lineitem")
+    fwd = o.filter(F.col("o_custkey") == 1).limit(1).agg(
+        (F.count(F.lit(1)) > 0).alias("fwd")
+    )
+    missing = li.filter(F.col("l_orderkey") == -5).limit(1).agg(
+        (F.count(F.lit(1)) > 0).alias("missing")
+    )
+    return fwd.crossJoin(missing)
+
+
+def _q_p7(spark, sf):
+    return traversal.roots(graft.dag_edges(spark, sf))
+
+
+def _q_j6(spark, sf):
+    edges = graft.dag_edges(spark, sf)
+    seeds = (
+        graft.load(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 5)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return traversal.out_neighbors(edges, seeds)
+
+
+def _q_j7(spark, sf):
+    edges = graft.dag_edges(spark, sf)
+    seeds = (
+        graft.load(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 10)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return traversal.k_hop(edges, seeds, 2)
+
+
+def _q_j7r(spark, sf):
+    edges = graft.dag_edges(spark, sf)
+    seeds = (
+        graft.load(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 3)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return traversal.reachable(edges, seeds)
+
+
+def _q_j4(spark, sf):
+    c = graft.load(spark, sf, "customer")
+    keys = c.sparkSession.createDataFrame([(k,) for k in LOOKUP_NAMES], ["c_name"])
+    return traversal.point_lookup(c, keys, "c_name").select("c_custkey", "c_name")
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(graft.load(spark, sf, "documents"))
+
+
+def _q_dedup_minhash(spark, sf):
+    d = graft.load(spark, sf, "documents")
+    out = dedup.minhash_dedup(d, portable_ids=True)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_dedup_simhash(spark, sf):
+    return dedup.simhash(graft.load(spark, sf, "documents"))
+
+
+def _q_dedup_ngram(spark, sf):
+    d = graft.load(spark, sf, "documents")
+    out = dedup.ngram_jaccard_pairs(d, n=3, tau=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_text_stats(spark, sf):
+    return text.token_stats(graft.load(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_len",
+        F.col("n_subtokens").cast("long").alias("n_subtokens"),
+    )
+
+
+def _q_text_quality(spark, sf):
+    return text.quality_score(graft.load(spark, sf, "documents"))
+
+
+def _q_text_langid(spark, sf):
+    return text.language_id(graft.load(spark, sf, "documents"))
+
+
+def _q_text_fingerprint(spark, sf):
+    return text.fingerprint(graft.load(spark, sf, "documents"))
+
+
+def _q_ann_topk(spark, sf):
+    return similarity.brute_force_topk(
+        graft.load(spark, sf, "embeddings"), query_vec_id=0, k=10
+    )
+
+
+def _q_ann_lsh(spark, sf):
+    return similarity.lsh_buckets(graft.load(spark, sf, "embeddings")).select(
+        "vec_id", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+def _q_ann_blocked(spark, sf):
+    return similarity.blocked_cosine_pairs(
+        graft.load(spark, sf, "embeddings"), block_col="label", tau=0.35
+    )
+
+
+def _q_ann_ivf(spark, sf):
+    return similarity.ivf_topk(
+        graft.load(spark, sf, "embeddings"), query_vec_id=0, k=10, n_centroids=8, n_probe=2
+    )
+
+
+def _q_kg_extract_raw(spark, sf):
+    t = graft.kg_transcripts(spark, sf)
+    _, raw = split_changelog(extract_changelog(t))
+    return raw.select("conv_id", "turn_idx", "subj_norm", "pred", "obj_norm")
+
+
+def _q_kg_build(spark, sf):
+    t = graft.kg_transcripts(spark, sf)
+    return triples_with_names(run_pipeline(t, tau=0.95))
+
+
+def _q_mm_features(spark, sf):
+    from plume_spark.operators.multimodal import extract_features
+
+    media = graft.documents_media(spark, sf)
+    return extract_features(media).select(
+        "media_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "checksum",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w1_turn_ordering": _q_w1,
+        "w2_lag_context": _q_w2,
+        "o1_topk": _q_o1,
+        "a1_group_sum": _q_a1,
+        "a2_filtered_count": _q_a2,
+        "a5_collect_set": _q_a5,
+        "u1_union_distinct": _q_u1,
+        "p1_projection_defaults": _q_p1,
+        "j1_edge_endpoint_join": _q_j1,
+        "p2_bulk_exists": _q_p2,
+        "p3_edge_exists": _q_p3,
+        "p7_roots": _q_p7,
+        "j6_out_neighbors": _q_j6,
+        "j7_two_hop": _q_j7,
+        "j7_reachable": _q_j7r,
+        "j4_point_lookup": _q_j4,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "text_token_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_buckets": _q_ann_lsh,
+        "ann_blocked_pairs": _q_ann_blocked,
+        "ann_ivf_topk": _q_ann_ivf,
+        "kg_extract_raw": _q_kg_extract_raw,
+        "kg_build_triples": _q_kg_build,
+        "mm_feature_extract": _q_mm_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same names, same column names, same values
+# --------------------------------------------------------------------------
+
+_TRANSCRIPTS_CTE = """
+WITH transcripts AS (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || ' ' || props AS text
+  FROM events)
+"""
+
+_EDGES_CTE = """
+WITH edges AS (
+  SELECT o_custkey AS subj, 1000000 + o_orderkey AS obj FROM orders
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem)
+"""
+
+_TOK_CTE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+dict AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) AS tok_id
+  FROM (SELECT DISTINCT tok FROM tok)),
+ids AS (SELECT t.doc_id, d.tok_id FROM tok t JOIN dict d USING (tok))
+"""
+
+# word-3-gram shingle units for minhash (order-sensitive near-dup unit)
+_SHINGLE_CTE = """
+WITH t0 AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+tok AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
+  FROM t0, (SELECT unnest(range(1, 2001)) AS i)
+  WHERE i <= len(toks) - 2),
+dict AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) AS tok_id
+  FROM (SELECT DISTINCT tok FROM tok)),
+ids AS (SELECT t.doc_id, d.tok_id FROM tok t JOIN dict d USING (tok))
+"""
+
+_MINHASH_PARAMS = ", ".join(
+    f"({i}, {dedup.MINHASH_A[i]}, {dedup.MINHASH_B[i]})" for i in range(dedup.MINHASH_K)
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {}
+    sql["w1_turn_ordering"] = (
+        _TRANSCRIPTS_CTE
+        + "SELECT conv_id, turn_idx, role, text FROM transcripts WHERE turn_idx < 3"
+    )
+    sql["w2_lag_context"] = (
+        _TRANSCRIPTS_CTE
+        + """
+        SELECT conv_id, turn_idx, prev_text FROM (
+          SELECT conv_id, turn_idx,
+                 lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+          FROM transcripts)
+        WHERE turn_idx < 3"""
+    )
+    sql["o1_topk"] = (
+        "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"
+    )
+    sql["a1_group_sum"] = """
+        SELECT user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               count(*) AS n
+        FROM events GROUP BY user_id"""
+    sql["a2_filtered_count"] = "SELECT count(*) AS n FROM events WHERE value > 100"
+    sql["a5_collect_set"] = """
+        SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+        FROM events GROUP BY user_id"""
+    sql["u1_union_distinct"] = """
+        SELECT event_type FROM events WHERE value > 150
+        UNION
+        SELECT event_type FROM events WHERE value < 50"""
+    sql["p1_projection_defaults"] = """
+        SELECT c_custkey, coalesce(c_mktsegment, '<empty>') AS segment,
+               coalesce(c_acctbal, -1.0) AS acctbal
+        FROM customer"""
+    sql["j1_edge_endpoint_join"] = """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey"""
+    sql["p2_bulk_exists"] = """
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)"""
+    sql["p3_edge_exists"] = """
+        SELECT (EXISTS(SELECT 1 FROM orders WHERE o_custkey = 1)) AS fwd,
+               (EXISTS(SELECT 1 FROM lineitem WHERE l_orderkey = -5)) AS missing"""
+    sql["p7_roots"] = (
+        _EDGES_CTE
+        + "SELECT DISTINCT subj AS node FROM edges WHERE subj NOT IN (SELECT obj FROM edges)"
+    )
+    sql["j6_out_neighbors"] = """
+        SELECT DISTINCT 1000000 + o_orderkey AS node FROM orders WHERE o_custkey < 5"""
+    sql["j7_two_hop"] = """
+        SELECT DISTINCT 2000000 + l_partkey AS node
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey < 10"""
+    sql["j7_reachable"] = """
+        SELECT c_custkey AS node FROM customer WHERE c_custkey < 3
+        UNION
+        SELECT 1000000 + o_orderkey FROM orders WHERE o_custkey < 3
+        UNION
+        SELECT 2000000 + l_partkey
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey < 3"""
+    names = ", ".join(f"'{n}'" for n in LOOKUP_NAMES)
+    sql["j4_point_lookup"] = (
+        f"SELECT c_custkey, c_name FROM customer WHERE c_name IN ({names})"
+    )
+    sql["dedup_exact"] = """
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY text) AS keeper_id,
+               count(*) OVER (PARTITION BY text) AS group_size
+        FROM documents"""
+    sql["dedup_minhash_lsh"] = (
+        _SHINGLE_CTE
+        + f""",
+        params(h, a, b) AS (VALUES {_MINHASH_PARAMS}),
+        sig AS (
+          SELECT doc_id, h, min((a * tok_id + b) % 2147483647) AS minhash
+          FROM ids CROSS JOIN params GROUP BY doc_id, h),
+        bands AS (
+          SELECT doc_id, h // {dedup.BAND_ROWS} AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+          FROM sig GROUP BY doc_id, h // {dedup.BAND_ROWS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.doc_a
+          JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b,
+               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {dedup.JACCARD_TAU}"""
+    )
+    sql["dedup_simhash"] = (
+        _TOK_CTE
+        + f""",
+        s AS (SELECT doc_id, (tok_id * {dedup.SIMHASH_SCRAMBLE}) % 4294967296 AS s FROM ids),
+        bits AS (
+          SELECT doc_id, j, sum(((s // (1::BIGINT << j)) % 2) * 2 - 1) AS sm
+          FROM s CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_BITS})) AS j)
+          GROUP BY doc_id, j)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN sm >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id"""
+    )
+    sql["dedup_ngram_jaccard"] = """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM t, (SELECT unnest(range(1, 2001)) AS i)
+          WHERE i <= len(toks) - 2),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5"""
+    sql["text_token_stats"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                 list_filter(
+                   string_split(
+                     regexp_replace(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+)', '\\1' || chr(31), 'g'),
+                     chr(31)),
+                   x -> trim(x) <> '') AS subtoks
+          FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               CAST(round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+                          / greatest(len(toks), 1), 4) AS DOUBLE) AS avg_token_len,
+               len(subtoks) AS n_subtokens
+        FROM t"""
+    stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    sql["text_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+          FROM documents),
+        m AS (
+          SELECT doc_id, text, n_punct,
+                 greatest(len(toks), 1) AS n_tok,
+                 len(list_filter(toks, x -> list_contains([{stop_list}], lower(x)))) AS n_stop
+          FROM t)
+        SELECT doc_id,
+               CAST(round(n_stop * 1.0 / n_tok, 4) AS DOUBLE) AS stopword_ratio,
+               CAST(round(n_punct * 1.0 / greatest(length(text), 1), 4) AS DOUBLE) AS punct_ratio,
+               CAST(round(
+                 (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END)
+                 + least(n_stop * 1.0 / n_tok, 0.3)
+                 + (CASE WHEN n_punct * 1.0 / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END),
+               4) AS DOUBLE) AS quality
+        FROM m"""
+    marker_cases = []
+    for i, lang in enumerate(sorted(text.LANG_MARKERS)):
+        arr = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+        marker_cases.append(
+            f"len(list_filter(toks, x -> list_contains([{arr}], x))) AS s_{lang}"
+        )
+    langs = sorted(text.LANG_MARKERS)
+    when_chain = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1]
+    )
+    sql["text_langid"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, text, {', '.join(marker_cases)} FROM t),
+        m AS (SELECT *, greatest({', '.join('s_' + la for la in langs)}) AS m FROM s)
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN m = 0 THEN 'und'
+                    {when_chain}
+                    ELSE '{langs[-1]}' END AS pred_lang
+        FROM m"""
+    sql["text_fingerprint"] = """
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        e AS (
+          SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+          FROM t)
+        SELECT doc_id,
+               sum((pos * (((length(tok) * 131 + ascii(tok)) * 131 + ascii(reverse(tok)))
+                           % 1000000007)) % 1000000007)
+                 % 1000000007 AS fingerprint
+        FROM e GROUP BY doc_id"""
+    sql["ann_cosine_topk"] = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE) AS cos_sim
+        FROM embeddings, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+    sql["ann_lsh_buckets"] = f"""
+        WITH e AS (
+          SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        proj AS (
+          SELECT vec_id, p,
+                 sum(x * (((i * {similarity._W_MUL_I} + (p+1) * {similarity._W_MUL_P})
+                           % {similarity._W_MOD}) - {similarity._W_OFF})) AS s
+          FROM e CROSS JOIN (SELECT unnest(range(0, {similarity.N_PLANES})) AS p)
+          GROUP BY vec_id, p)
+        SELECT vec_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id"""
+    sql["ann_blocked_pairs"] = """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35"""
+    subj_norm = NORM_SQL.format(col="c_name")
+    obj_norm = NORM_SQL.format(col="n_name")
+    sql["kg_extract_raw"] = f"""
+        WITH t AS (
+          SELECT c.c_custkey, c.c_name, n.n_name, o.o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                         ORDER BY o.o_orderdate, o.o_orderkey) - 1 AS INT) AS turn_idx
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey)
+        SELECT 'conv-' || CAST(c_custkey AS VARCHAR) AS conv_id, turn_idx,
+               {subj_norm} AS subj_norm,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'works_at' ELSE 'visited' END AS pred,
+               {obj_norm} AS obj_norm
+        FROM t"""
+    # kg_build_triples, ann_ivf_topk, mm_feature_extract: non-SQL-expressible
+    # (pandas-UDF extraction + iterative CC / driver-side loop) -> rows-only.
+    return sql

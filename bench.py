@@ -1,0 +1,141 @@
+"""Benchmark harness (the reference's JMH write+read suite recast,
+src/main/scala/com/github/plume/oss/Benchmark.scala:20-77).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: run the flagship KG build at two parallelism levels (local[8] vs
+local[32]) in FRESH subprocesses (fresh JVM per level, like JMH forks) and
+report throughput + scaling efficiency — the sandbox proxy for the N vs 4N
+executor-cluster criterion (see BENCH.md).
+
+--explain: print formatted physical plans of headline queries for inspection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: the flagship e2e build + one per operator family
+HEADLINE = [
+    "kg_build_triples",
+    "kg_extract_raw",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "ann_blocked_pairs",
+    "j7_two_hop",
+    "a1_group_sum",
+    "w1_turn_ordering",
+]
+
+
+def _run_query(df) -> int:
+    """Force full execution without driver materialization cost dominating:
+    noop sink executes every task and discards rows."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
+    from plume_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="plume-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    qs = entrymod.queries()
+    names = names or HEADLINE
+    timings: dict[str, float] = {}
+    n_triples = 0
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if name == "kg_build_triples":
+            n_triples = df.count()  # count doubles as the action
+        else:
+            _run_query(df)
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    e2e = timings.get("kg_build_triples", total)
+    return {
+        "metric": "kg_e2e_build_sec",
+        "value": e2e,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / e2e, 1) if e2e else 0.0,
+        "total_sec": total,
+    }
+
+
+def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+    """Fresh subprocess per parallelism level (JMH-fork analog): same input,
+    same job, different core counts; efficiency = (T_low/T_high) / (N_high/N_low)."""
+    results = {}
+    for n in levels:
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", "kg_build_triples"],
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(n), "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    lo, hi = levels
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    speedup = t_lo / t_hi if t_hi else 0.0
+    efficiency = speedup / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "speedup": round(speedup, 3),
+        "levels": {
+            str(n): {
+                "sec": results[n]["value"],
+                "triples_per_sec": results[n]["triples_per_sec"],
+            }
+            for n in levels
+        },
+        "sf": sf_dir,
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--single" in sys.argv:
+        name = sys.argv[sys.argv.index("--single") + 1]
+        print(json.dumps(run_bench(SF_DIR, CPUS, [name])))
+        return
+    if "--explain" in sys.argv:
+        from plume_spark.session import get_spark
+        import __spark_entry__ as entrymod
+
+        spark = get_spark(app_name="plume-explain", master=f"local[{CPUS}]")
+        for name in sys.argv[sys.argv.index("--explain") + 1 :] or HEADLINE:
+            print(f"===== {name} =====")
+            entrymod.queries()[name](spark, SF_DIR).explain("formatted")
+        return
+    print(json.dumps(run_bench(SF_DIR, CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Deterministic derivations of transcript/graph shapes from the driver's
+TPC-H-ish parquet tables (/root/testdata/sf*) — shared by __spark_entry__.py
+(driver contract) and bench.py.
+
+Each derivation is expressible in BOTH Spark and ANSI SQL, so the DuckDB
+oracle can recompute it exactly.  Table loading goes through plain
+``spark.read.parquet`` (S1 scan — parquet gives vectorized reads + predicate
+pushdown; on a cluster these would be Iceberg tables with bucket(conv_id)
+partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NODE_ORDER_OFFSET = 1_000_000
+NODE_PART_OFFSET = 2_000_000
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> transcript shape: one conversation per user, turns ordered
+    by (ts, event_id) — the W1 stable-ordering substrate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
+
+def kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer x nation x orders -> transcript shape whose text carries real
+    extractable mentions: 'Customer#000000042 works at NATION_7'.  Predicate
+    alternates on order-key parity; turn order is (o_orderdate, o_orderkey).
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"]).join(
+        o, o["o_custkey"] == c["c_custkey"]
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    verb = F.when(F.col("o_orderkey") % 2 == 0, F.lit(" works at ")).otherwise(
+        F.lit(" visited ")
+    )
+    return j.select(
+        F.concat(F.lit("conv-"), F.col("c_custkey").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.col("c_name"), verb, F.col("n_name")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+
+
+def dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level DAG over disjoint id namespaces: customer -> order -> part.
+    The substrate for the traversal/read-benchmark operators (J6/J7/P7)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e1 = o.select(
+        F.col("o_custkey").alias("subj"),
+        (F.lit(NODE_ORDER_OFFSET) + F.col("o_orderkey")).alias("obj"),
+    )
+    e2 = li.select(
+        (F.lit(NODE_ORDER_OFFSET) + F.col("l_orderkey")).alias("subj"),
+        (F.lit(NODE_PART_OFFSET) + F.col("l_partkey")).alias("obj"),
+    )
+    return e1.unionByName(e2)
+
+
+def documents_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> multimodal MEDIA shape: payload = utf-8 bytes of text,
+    modality cycles by doc_id.  Deterministic, so feature extraction over it
+    is oracle-checkable (n_bytes, checksum)."""
+    d = load(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )

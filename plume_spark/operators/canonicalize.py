@@ -33,7 +33,9 @@ def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:
     """
     norms = mentions.select("norm").distinct()
     kwargs = {} if tau is None else {"tau": tau}
-    edges = verified_pairs(norms, "norm", **kwargs)
+    # materialize the similarity edges once: connected_components and every
+    # downstream consumer would otherwise re-run the LSH + verify lineage
+    edges = verified_pairs(norms, "norm", **kwargs).localCheckpoint(eager=True)
     cc = connected_components(edges, "norm_a", "norm_b").withColumnRenamed("node", "norm")
     return (
         norms.join(cc, "norm", "left")
@@ -47,7 +49,7 @@ def build_entities(mentions: DataFrame, tau: float | None = None) -> tuple[DataF
     entities:        entity_id, canonical_name, kind, aliases
     norm_to_entity:  norm, entity_id   (the linking dictionary for triples)
     """
-    comp = norm_components(mentions, tau)
+    comp = norm_components(mentions, tau).cache()  # reused by entities + dict
     # per-norm kind candidates (smallest non-'entity' kind per norm)
     norm_kind = (
         mentions.groupBy("norm")

@@ -1,0 +1,246 @@
+"""Document deduplication family — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+These are the training-data-pipeline counterparts of the reference's dedup
+semantics (duplicate-node identity map IDriver.scala:91-98; duplicate-edge
+filtering CHANGELOG.md:632), generalized from graph elements to documents.
+
+Scale notes per operator:
+* exact:     one groupBy(text) shuffle; at 100 TB group by xxhash64(text)
+             first (fixed-width shuffle keys) and verify within groups.
+* minhash:   signatures via small literal hash-parameter tables exploded
+             JVM-side — NO Python in the loop; candidate generation is an
+             equi-join on band keys; verification exact.  Token ids come from
+             either a dictionary (portable, used by the DuckDB oracle) or
+             xxhash64 (scale path: no global sort, no dictionary shuffle).
+* simhash:   pure column arithmetic, fully codegen'd.
+* ngram:     shingle-blocked pair join — correct but quadratic within blocks;
+             minhash IS its scale path, kept for parity/verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed universal-hash parameters (shared, literal, deterministic)
+MINHASH_K = 16
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = [
+    1299721, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823,
+    141650939, 160481183, 179424673, 198491317, 217645177, 236887691, 256203161, 275604541,
+]
+MINHASH_B = [
+    104729, 1299709, 15485867, 32452867, 49979693, 67867979, 86028157, 104395303,
+    122949829, 141650963, 160481219, 179424691, 198491329, 217645199, 236887699, 256203221,
+]
+BAND_ROWS = 2  # 8 bands x 2 rows: P(miss | J=0.5) = (1-0.25)^8 ≈ 0.10
+SIMHASH_BITS = 16
+SIMHASH_SCRAMBLE = 2654435761
+JACCARD_TAU = 0.5
+
+
+def tokens(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tok) distinct token sets — the shared shingle substrate."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, tok) distinct word n-gram shingles.  Order-sensitive units:
+    far more discriminative than bare tokens on small vocabularies, and the
+    standard unit for near-dup dedup at scale."""
+    t = df.select(id_col, F.split(F.col(text), " ").alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    return t.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("tok"),
+    ).distinct()
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: keeper = min id per identical text.
+    Returns (doc_id, keeper_id, group_size); group_size > 1 marks duplicates."""
+    w = Window.partitionBy(text)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.min(id_col).over(w).alias("keeper_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+def token_dictionary(tok_df: DataFrame) -> DataFrame:
+    """(tok, tok_id): dense ids by lexicographic rank — portable across
+    engines (the DuckDB oracle recomputes the same ranks).  Global sort:
+    test/oracle path only; the scale path is hashed_token_ids."""
+    toks = tok_df.select("tok").distinct()
+    return toks.withColumn("tok_id", F.row_number().over(Window.orderBy("tok")))
+
+
+def hashed_token_ids(tok_df: DataFrame) -> DataFrame:
+    """Scale-path token ids: xxhash64 — shuffle-free, no dictionary."""
+    return tok_df.withColumn("tok_id", F.pmod(F.xxhash64("tok"), F.lit(MINHASH_P)))
+
+
+def minhash_signatures(tok_ids: DataFrame) -> DataFrame:
+    """(doc_id, h (0..K-1), minhash) from (doc_id, tok_id).
+
+    The K hash functions are a small literal array exploded JVM-side; the
+    min is a partial aggregate (map-side combine before the shuffle).
+    """
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h"),
+                (
+                    (F.lit(MINHASH_A[i]) * F.col("tok_id").cast("long") + F.lit(MINHASH_B[i]))
+                    % MINHASH_P
+                ).alias("v"),
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+    return (
+        tok_ids.select("doc_id", F.explode(hashes).alias("hv"))
+        .groupBy("doc_id", F.col("hv.h").alias("h"))
+        .agg(F.min("hv.v").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band docs by consecutive minhash pairs; equi-join bands for candidates."""
+    bands = (
+        sig.withColumn("band", (F.col("h") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("rows"))
+        .select("doc_id", "band", F.col("rows.minhash").alias("band_sig"))
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, tok_df: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs -> (doc_a, doc_b, jaccard).
+
+    Set sizes are precomputed; the intersection is one join on (pair, token).
+    """
+    sizes = tok_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = tok_df.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok_df.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    tau: float = JACCARD_TAU, portable_ids: bool = True, unit: str = "shingle3",
+) -> DataFrame:
+    """Full MinHash/LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
+
+    ``unit``: 'shingle3' (word 3-grams, default — discriminative) or 'token'.
+    Verification is exact over the unit sets, so output pairs are identical
+    across engines given identical candidates (the oracle mirrors the same
+    banding, so even LSH misses agree)."""
+    tok = shingles(df, 3, text, id_col) if unit == "shingle3" else tokens(df, text, id_col)
+    if portable_ids:
+        ids = tok.join(token_dictionary(tok), "tok").select("doc_id", "tok_id")
+    else:
+        ids = hashed_token_ids(tok).select("doc_id", "tok_id")
+    pairs = lsh_candidate_pairs(minhash_signatures(ids))
+    return jaccard_verify(pairs, tok, tau)
+
+
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 16-bit sign-sum fingerprint over dictionary token
+    ids — near-dups differ in few bits (Hamming)."""
+    tok = tokens(df, text, id_col)
+    ids = tok.join(token_dictionary(tok), "tok").select("doc_id", "tok_id")
+    scrambled = ids.withColumn(
+        "s", (F.col("tok_id") * F.lit(SIMHASH_SCRAMBLE)) % F.lit(4294967296)
+    )
+    bits = scrambled.select(
+        "doc_id",
+        *[
+            (((F.col("s") / F.lit(2**j)).cast("long") % 2) * 2 - 1).alias(f"w{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    agg = bits.groupBy("doc_id").agg(
+        *[F.sum(f"w{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    sh = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, tau: float = JACCARD_TAU,
+    text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-gram (shingle) Jaccard near-dup pairs, shingle-blocked.
+
+    Blocking on shared shingles bounds candidates to pairs with >=1 common
+    shingle; exact verification follows.  Quadratic within hot shingles —
+    the minhash operator is the scale path for this semantics.
+    """
+    t = df.select(id_col, F.split(F.col(text), " ").alias("toks")).filter(
+        F.size("toks") >= n  # guard: F.sequence(0, negative) would descend
+    )
+    sh = t.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )

@@ -123,14 +123,32 @@ def _verify_batch(pdf: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"norm_a": b["norm_a"], "norm_b": b["norm_b"], "jaccard": jac})
 
 
-def candidate_pairs(norms: DataFrame, norm: str = "norm") -> DataFrame:
+MAX_BUCKET_SIZE = 100
+
+
+def candidate_pairs(
+    norms: DataFrame, norm: str = "norm", max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
     """LSH candidate pairs over the distinct-norm dictionary.
 
     Self-join on band key; ``norm_a < norm_b`` keeps each unordered pair once.
     Distinct BEFORE verify so each pair is verified exactly once even when it
     collides in several bands.
-    """
+
+    ``max_bucket_size``: band buckets larger than this are dropped before the
+    self-join — standard LSH practice (an oversized bucket is a stop-shingle:
+    non-discriminative, and its pair count is quadratic).  This is the
+    skew-kill for dense similarity clusters: without it, a cluster of k
+    mutually-similar norms costs O(k^2) candidates per band.  True alias
+    groups are orders of magnitude smaller than the cap."""
     keys = band_keys(norms.select(norm).distinct(), norm)
+    ok_buckets = (
+        keys.groupBy("band_idx", "band_hash")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .select("band_idx", "band_hash")
+    )
+    keys = keys.join(ok_buckets, ["band_idx", "band_hash"], "left_semi")
     a = keys.select(F.col(norm).alias("norm_a"), "band_idx", "band_hash")
     b = keys.select(F.col(norm).alias("norm_b"), "band_idx", "band_hash")
     return (

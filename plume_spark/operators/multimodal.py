@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with a
+metadata struct; decode / feature-extraction / resize / frame-sample run as
+Arrow-batched pandas UDFs over ``mapInPandas``.  The decode step itself is
+STUBBED (image/audio libs are not in this container): ``decode_stub``
+produces deterministic fake features, and ``decode_real`` raises
+NotImplementedError with the intended contract — the Spark-side plumbing
+(schema, batch shape, partition sizing) is real and tested.
+
+Scale notes: binary payloads dominate row size, so
+* metadata-only stages must NOT read the payload — keep payload in its own
+  column and select it away early (column pruning drops it from the scan);
+* batches are capped by spark.sql.execution.arrow.maxRecordsPerBatch so a
+  batch of large blobs fits executor memory;
+* payload-heavy tables should be partitioned by size, not row count
+  (maxPartitionBytes), which parquet + Spark handle natively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def decode_real(payload: bytes, mime: str) -> np.ndarray:
+    """The real decode contract: payload -> pixel array / PCM samples.
+    Requires pillow / libsndfile / pyav — not present in this container."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not present in this container; "
+        "swap decode_stub -> a real decoder (PIL.Image.open / soundfile.read / "
+        "av.open) with the same (payload, mime) -> ndarray signature"
+    )
+
+
+def decode_stub(payload: bytes, mime: str) -> np.ndarray:
+    """Deterministic fake decode: a FEATURE_DIM float vector derived from the
+    byte content — stable across runs, so downstream tests are exact."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    pad = (-len(arr)) % FEATURE_DIM
+    a = np.pad(arr, (0, pad)).reshape(-1, FEATURE_DIM).astype(np.float64)
+    return (a.mean(axis=0) / 255.0).astype(np.float32)
+
+
+def extract_features(media: DataFrame, decoder=decode_stub) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, feature rows out.
+    Payload column is dropped on output (features are small; blobs are not)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats, checks, sizes = [], [], []
+            for payload, mime in zip(b["payload"], b["mime"]):
+                data = bytes(payload) if payload is not None else b""
+                feats.append([float(x) for x in decoder(data, mime)])
+                arr = np.frombuffer(data, dtype=np.uint8)
+                checks.append(int(arr.astype(np.uint64).sum() % (2**62)))
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "modality": b["modality"],
+                    "n_bytes": sizes,
+                    "checksum": checks,
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "modality", "mime", "payload").mapInPandas(
+        run, schema=FEATURES
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: (media_id, frame_ts_ms) rows — pure column
+    arithmetic (sequence/explode); the decode of each frame is the stubbed
+    step.  Demonstrates fan-out without touching payloads."""
+    return (
+        media.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def synthetic_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
+    """Deterministic media fixture: payload bytes derived from (seed, id)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    mods = ["image", "audio", "video"]
+    for i in range(n):
+        m = mods[i % 3]
+        size = int(rng.integers(64, 4096))
+        payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        rows.append(
+            (
+                i,
+                m,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[m],
+                payload,
+                64 if m == "image" else None,
+                48 if m == "image" else None,
+                int(rng.integers(500, 5000)) if m != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA)

@@ -1,0 +1,120 @@
+"""Text analysis for training-data pipelines: token stats, quality scoring,
+language ID, document fingerprinting.
+
+All operators are pure Spark column expressions (whole-stage codegen, no
+Python) and have exact DuckDB-SQL oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# marker lexicons for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len) — whitespace +
+    a BPE-ish sub-token count (runs of letters / digits / punctuation)."""
+    toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
+    subtoks = F.filter(
+        F.split(F.regexp_replace(F.col(text), r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+)", "$1\x1f"), "\x1f"),
+        lambda t: F.trim(t) != "",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        F.size(subtoks).alias("n_subtokens"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, stopword_ratio, punct_ratio, quality): deterministic
+    length/punct/stopword heuristic in [0, 1]."""
+    toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.length(F.col(text)) - F.length(F.regexp_replace(F.col(text), r"[^\w\s]", ""))
+    len_ok = (F.length(F.col(text)) >= 50) & (F.length(F.col(text)) <= 5000)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(F.length(F.col(text)), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(
+            (F.when(len_ok, 0.4).otherwise(0.0))
+            + F.least(n_stop / n_tok, F.lit(0.3)) * 1.0
+            + F.when(
+                n_punct / F.greatest(F.length(F.col(text)), F.lit(1)) < 0.1, 0.3
+            ).otherwise(0.0),
+            4,
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang): marker-word counting; CJK chars force 'zh';
+    no marker hits -> 'und'.  Ties resolve to the lexicographically first
+    language (deterministic)."""
+    toks = F.filter(F.split(F.lower(F.col(text)), " "), lambda t: t != "")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max_by over (score, -lang): array_max on struct compares score then lang;
+    # to make ties pick the FIRST lang, compare (score, reversed-rank) instead
+    ranked = [
+        F.struct(s["score"].alias("score"), F.lit(-i).alias("rank"), s["lang"].alias("lang"))
+        for i, s in enumerate(scores)
+    ]
+    best = F.array_max(F.array(*ranked))
+    has_cjk = F.col(text).rlike(r"[一-鿿]")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint): positional rolling hash over tokens —
+    sum((pos+1) * (len(tok)*131 + first_char_code) mod P) mod P, P = 1e9+7.
+    Arithmetic only, portable to the SQL oracle, order-sensitive (a reordered
+    document fingerprints differently, unlike bag-of-words hashes).
+
+    posexplode + partial sum agg (map-side combinable); long casts keep the
+    per-term product (< ~2e11) out of int overflow.  Docs with no tokens drop
+    out (group-by semantics) — identical to the SQL oracle."""
+    toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    tok_code = (
+        F.length("tok").cast("long") * 131 + F.ascii("tok")
+    ) * 131 + F.ascii(F.reverse("tok"))
+    term = ((F.col("pos") + 1).cast("long") * (tok_code % 1000000007)) % 1000000007
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(term) % 1000000007).alias("fingerprint"))
+    )

@@ -1,0 +1,140 @@
+"""Unit tests for the training-data operators + plan-hygiene assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from plume_spark.operators import dedup, similarity, text, traversal
+from plume_spark.operators.multimodal import (
+    decode_real,
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different text about spark catalyst optimizer plans"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "el perro grande corre por la calle con el gato pequeno"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: (r["keeper_id"], r["group_size"]) for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == (0, 2) and out[3] == (0, 2)
+    assert out[1] == (1, 1) and out[2] == (2, 1)
+
+
+def test_minhash_and_ngram_agree(docs):
+    mh = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_dedup(docs, tau=0.5).collect()}
+    ng = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(docs, tau=0.5).collect()}
+    assert (0, 3) in ng and (0, 1) in ng and (1, 3) in ng
+    assert not any(2 in p or 4 in p for p in ng)
+    assert mh <= ng  # LSH can only miss, never invent (verification is exact)
+    assert (0, 3) in mh  # identical docs always collide in every band
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[0] == sh[3]
+    assert ham(sh[0], sh[1]) <= ham(sh[0], sh[2])
+
+
+def test_text_operators(docs):
+    stats = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == 13
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert 0 <= q[0]["quality"] <= 1 and q[0]["punct_ratio"] == 0.0
+    lang = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs).collect()}
+    assert lang[0] == "en" and lang[4] == "es"
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[3] and fp[0] != fp[1]
+
+
+def test_similarity(spark):
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),
+        (4, [0.8, 0.2, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    top = dedup_free = similarity.brute_force_topk(emb, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cos_sim"] - 1.0) < 1e-6
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+    buckets = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb).collect()}
+    assert buckets[0] == buckets[1]  # near vectors share hyperplane signs
+    assert buckets[0] != buckets[3]  # antipodal vectors flip every sign
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.blocked_cosine_pairs(emb, "label", tau=0.9).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) not in pairs
+
+
+def test_ivf_topk_matches_brute_on_probed_cells(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    approx = similarity.ivf_topk(emb, query_vec_id=5, k=5, n_centroids=4, n_probe=4)
+    exact = similarity.brute_force_topk(emb, query_vec_id=5, k=5)
+    # with n_probe = n_centroids the IVF search is exhaustive => identical
+    assert [r["vec_id"] for r in approx.collect()] == [r["vec_id"] for r in exact.collect()]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=9, seed=1)
+    feats = extract_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 9
+    assert all(len(r["feature"]) == 16 for r in rows.values())
+    # deterministic: same input -> same features
+    again = {r["media_id"]: r for r in extract_features(synthetic_media(spark, n=9, seed=1)).collect()}
+    assert all(rows[i]["checksum"] == again[i]["checksum"] for i in rows)
+    assert all(rows[i]["feature"] == again[i]["feature"] for i in rows)
+    # frame sampling plan never touches payload
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.count() > 0 and "payload" not in plan.columns
+    with pytest.raises(NotImplementedError):
+        decode_real(b"xx", "image/png")
+
+
+def test_traversal_tiny_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (9, 9)], ["subj", "obj"]
+    )
+    roots = {r["node"] for r in traversal.roots(edges).collect()}
+    assert roots == {1}
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    assert {r["node"] for r in traversal.k_hop(edges, seeds, 2).collect()} == {4}
+    reach = {r["node"] for r in traversal.reachable(edges, seeds).collect()}
+    assert reach == {1, 2, 3, 4, 5}
+    up = {r["node"] for r in traversal.parent_walk(edges, spark.createDataFrame([(5,)], ["node"])).collect()}
+    assert up == {5, 4, 2, 3, 1}
+
+
+def test_no_rowwise_python_in_plans(spark, docs):
+    """SURVEY §7 hard part (d): Python appears only as Arrow-batched nodes
+    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) — never as
+    row-at-a-time BatchEvalPython."""
+    from plume_spark.generator import generate_transcripts
+    from plume_spark.pipeline import run_pipeline
+
+    t = generate_transcripts(spark, 4, seed=0)
+    result = run_pipeline(t, persist_changelog=False)
+    for df in [result.triples, dedup.minhash_dedup(docs), text.fingerprint(docs)]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan[:2000]
