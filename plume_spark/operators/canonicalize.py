@@ -31,7 +31,9 @@ def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:
     Norms not linked to anything are their own canonical (isolated nodes are
     unioned back — connected_components only sees edge endpoints).
     """
-    norms = mentions.select("norm").distinct()
+    # the distinct-norm dictionary is read many times (banding, gram dict,
+    # isolated-norm union) — materialize it once
+    norms = mentions.select("norm").distinct().localCheckpoint(eager=True)
     kwargs = {} if tau is None else {"tau": tau}
     # materialize the similarity edges once: connected_components and every
     # downstream consumer would otherwise re-run the LSH + verify lineage

@@ -22,17 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# fixed universal-hash parameters (shared, literal, deterministic)
+# fixed universal-hash parameters (shared, literal, deterministic): 64 seeded
+# (a, b) pairs; dedup uses the first MINHASH_K, entity linking the first 32.
+import numpy as _np
+
+MINHASH_P = 2147483647  # 2^31 - 1: keeps a * id + b inside int64
+_param_rng = _np.random.default_rng(20240816)
+MINHASH_A = [int(x) for x in _param_rng.integers(1, MINHASH_P, size=64)]
+MINHASH_B = [int(x) for x in _param_rng.integers(0, MINHASH_P, size=64)]
 MINHASH_K = 16
-MINHASH_P = 2147483647  # 2^31 - 1
-MINHASH_A = [
-    1299721, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823,
-    141650939, 160481183, 179424673, 198491317, 217645177, 236887691, 256203161, 275604541,
-]
-MINHASH_B = [
-    104729, 1299709, 15485867, 32452867, 49979693, 67867979, 86028157, 104395303,
-    122949829, 141650963, 160481219, 179424691, 198491329, 217645199, 236887699, 256203221,
-]
 BAND_ROWS = 2  # 8 bands x 2 rows: P(miss | J=0.5) = (1-0.25)^8 ≈ 0.10
 SIMHASH_BITS = 16
 SIMHASH_SCRAMBLE = 2654435761
@@ -90,11 +88,14 @@ def hashed_token_ids(tok_df: DataFrame) -> DataFrame:
     return tok_df.withColumn("tok_id", F.pmod(F.xxhash64("tok"), F.lit(MINHASH_P)))
 
 
-def minhash_signatures(tok_ids: DataFrame) -> DataFrame:
-    """(doc_id, h (0..K-1), minhash) from (doc_id, tok_id).
+def minhash_signatures(tok_ids: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, h (0..k-1), minhash) from (doc_id, tok_id).
 
-    The K hash functions are a small literal array exploded JVM-side; the
-    min is a partial aggregate (map-side combine before the shuffle).
+    Data-parallel: the k hash functions are a small literal array exploded
+    JVM-side (k rows per token), and the min is a partial aggregate (map-side
+    combine before the shuffle).  NOTE: expression-parallel minhash (one
+    64-element array expression per row) was tried and abandoned — Catalyst
+    inlines the tree into every consumer and the optimizer/codegen blow up.
     """
     hashes = F.array(
         *[
@@ -105,7 +106,7 @@ def minhash_signatures(tok_ids: DataFrame) -> DataFrame:
                     % MINHASH_P
                 ).alias("v"),
             )
-            for i in range(MINHASH_K)
+            for i in range(k)
         ]
     )
     return (
@@ -115,10 +116,10 @@ def minhash_signatures(tok_ids: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     """Band docs by consecutive minhash pairs; equi-join bands for candidates."""
     bands = (
-        sig.withColumn("band", (F.col("h") / BAND_ROWS).cast("int"))
+        sig.withColumn("band", (F.col("h") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("rows"))
         .select("doc_id", "band", F.col("rows.minhash").alias("band_sig"))

@@ -4,126 +4,70 @@ Reference analog: Plume links call-sites to methods by exact full-name
 (CHANGELOG.md:181 PlumeDynamicCallLinker; CHANGELOG.md:1154-1155 CHA/SPARK call
 graphs).  The transcript graft replaces exact-name linking with near-duplicate
 surface-form linking: MinHash over character 3-grams, LSH banding to block
-candidates, exact Jaccard verification of candidates.
+candidates, exact 3-gram Jaccard verification of candidates.
+
+Everything here is JVM-side DataFrame work — no Python in the loop:
+* gram sets via substring/transform column expressions,
+* minhash DATA-parallel (k literal hash params exploded to rows, min as a
+  partial aggregate) — shared machinery with dedup.minhash_signatures.
+  An expression-parallel variant (64-element array expression) was tried and
+  abandoned: Catalyst inlines the tree into every consumer and the optimizer
+  OOMs; a per-row 4-norm toy took 13s,
+* exact verify via array_intersect over a gram dictionary join.
 
 Scale design:
 * linking runs over the DISTINCT-norm dictionary, not over mentions — at
   100 TB the dictionary is orders of magnitude smaller than the mention
-  stream, so the expensive UDF + self-join touch only distinct strings;
-* band keys are exploded JVM-side (posexplode) and the candidate self-join is
-  a plain equi-join on (band_idx, band_hash) — Catalyst picks SMJ/BHJ and AQE
-  splits skewed bands (a hot norm producing a fat bucket);
-* hashing is vectorized numpy inside an Arrow-batched pandas UDF — no per-row
-  Python.
+  stream, so hashing + self-join touch only distinct strings;
+* oversized band buckets are dropped (``max_bucket_size``): an oversized
+  bucket is non-discriminative and quadratic — the skew-kill for dense
+  similarity clusters;
+* the candidate self-join is a plain equi-join on (band, band_sig); AQE
+  splits whatever skew survives the cap;
+* the verify join against the gram dictionary broadcasts when small
+  (Catalyst decides), shuffle-hash otherwise.
 
-Parameters (k=64 hashes, 32 bands x 2 rows) are chosen so a true pair at the
-verify threshold (tau=0.55) is missed with probability < 1e-5 — candidate
-over-generation is cheap because verification is exact, while a missed pair
-is a recall loss.
+Parameters (k=32 hashes, 16 bands x 2 rows) target recall at the default
+verify threshold tau=0.55: a true pair at J=0.6 is missed with p≈(1-0.36)^16
+≈ 0.08%; over-generation below tau is cheap because verification is exact.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
-N_HASHES = 64
-N_BANDS = 32
-ROWS_PER_BAND = N_HASHES // N_BANDS
+from plume_spark.operators.dedup import MINHASH_P, minhash_signatures
+
+N_HASHES = 32
+ROWS_PER_BAND = 2
 JACCARD_TAU = 0.55
-
-_MERSENNE = np.uint64((1 << 61) - 1)
-_rng = np.random.default_rng(1234)  # fixed seed: deterministic across runs
-_A = _rng.integers(1, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
-_B = _rng.integers(0, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
-
-
-def _grams(s: str) -> np.ndarray:
-    """Char 3-gram FNV-1a 64 hashes (unique) of a normalized string."""
-    if len(s) < 3:
-        s = s + "\x00" * (3 - len(s))
-    seen = {s[i : i + 3] for i in range(len(s) - 2)}
-    out = np.empty(len(seen), dtype=np.uint64)
-    for j, g in enumerate(seen):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in g.encode():
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[j] = h
-    return out
+# Max norms per band bucket before the bucket is dropped as non-discriminative.
+# Candidate volume is bounded by cap * |dict| * bands / 2, so the cap is the
+# linear knob against dense-cluster blowup; real alias groups are far smaller.
+MAX_BUCKET_SIZE = 32
 
 
-def _minhash(s: str) -> np.ndarray:
-    g = _grams(s) % _MERSENNE
-    # (k, |g|) universal hashes -> row-wise min
-    vals = (np.outer(_A, g) + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
-
-
-@pandas_udf(T.ArrayType(T.LongType()))
-def minhash_signature(norms: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Vectorized (Arrow-batched) minhash signature per norm string."""
-    for batch in norms:
-        yield batch.map(lambda s: [int(x) for x in _minhash(s)])
-
-
-def band_keys(df: DataFrame, norm: str = "norm") -> DataFrame:
-    """norm -> exploded (band_idx, band_hash) rows.  Band hash folds the
-    band's rows JVM-side so the UDF output stays one array per norm."""
-    sig = df.withColumn("sig", minhash_signature(F.col(norm)))
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)],
-            )
-            for b in range(N_BANDS)
-        ]
+def gram_array(c: Column | str) -> Column:
+    """Distinct character 3-grams of a norm string (short strings padded with
+    NUL, matching the test oracle's convention)."""
+    c = F.col(c) if isinstance(c, str) else c
+    padded = F.when(F.length(c) < 3, F.rpad(c, 3, "\x00")).otherwise(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: F.substring(padded, i, 3),
+        )
     )
+
+
+def _gram_ids(norms: DataFrame, norm: str) -> DataFrame:
+    """(doc_id=norm, tok_id=hashed gram) rows — the minhash substrate."""
     return (
-        sig.withColumn("band", bands)
-        .select(norm, F.posexplode("band").alias("band_idx", "band_hash"))
+        norms.select(F.col(norm).alias("doc_id"), F.explode(gram_array(norm)).alias("g"))
+        .select("doc_id", F.pmod(F.xxhash64("g"), F.lit(MINHASH_P)).alias("tok_id"))
+        .distinct()
     )
-
-
-_PAIR_SCHEMA = T.StructType(
-    [
-        T.StructField("norm_a", T.StringType()),
-        T.StructField("norm_b", T.StringType()),
-        T.StructField("jaccard", T.DoubleType()),
-    ]
-)
-
-
-def _verify_batch(pdf: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for b in pdf:
-        if len(b) == 0:
-            yield pd.DataFrame({"norm_a": [], "norm_b": [], "jaccard": []})
-            continue
-        cache: dict[str, set] = {}
-
-        def gs(s: str) -> set:
-            if s not in cache:
-                if len(s) < 3:
-                    s2 = s + "\x00" * (3 - len(s))
-                else:
-                    s2 = s
-                cache[s] = {s2[i : i + 3] for i in range(len(s2) - 2)}
-            return cache[s]
-
-        jac = [
-            len(gs(a) & gs(b)) / len(gs(a) | gs(b)) if gs(a) | gs(b) else 0.0
-            for a, b in zip(b["norm_a"], b["norm_b"])
-        ]
-        yield pd.DataFrame({"norm_a": b["norm_a"], "norm_b": b["norm_b"], "jaccard": jac})
-
-
-MAX_BUCKET_SIZE = 100
 
 
 def candidate_pairs(
@@ -131,36 +75,72 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs over the distinct-norm dictionary.
 
-    Self-join on band key; ``norm_a < norm_b`` keeps each unordered pair once.
-    Distinct BEFORE verify so each pair is verified exactly once even when it
-    collides in several bands.
-
-    ``max_bucket_size``: band buckets larger than this are dropped before the
-    self-join — standard LSH practice (an oversized bucket is a stop-shingle:
-    non-discriminative, and its pair count is quadratic).  This is the
-    skew-kill for dense similarity clusters: without it, a cluster of k
-    mutually-similar norms costs O(k^2) candidates per band.  True alias
-    groups are orders of magnitude smaller than the cap."""
-    keys = band_keys(norms.select(norm).distinct(), norm)
-    ok_buckets = (
-        keys.groupBy("band_idx", "band_hash")
+    Self-join on (band, band_sig); ``norm_a < norm_b`` keeps each unordered
+    pair once; distinct BEFORE verify so each pair is verified exactly once
+    even when it collides in several bands.  Buckets above ``max_bucket_size``
+    are dropped (stop-shingle practice — see module docstring)."""
+    distinct_norms = norms.select(norm).distinct()
+    sig = minhash_signatures(_gram_ids(distinct_norms, norm), k=N_HASHES)
+    bands = (
+        sig.withColumn("band", (F.col("h") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("rows"))
+        .select("doc_id", "band", F.col("rows.minhash").alias("band_sig"))
+    )
+    bands = bands.localCheckpoint(eager=True)  # consumed by cap-count AND join
+    ok = (
+        bands.groupBy("band", "band_sig")
         .count()
         .filter(F.col("count") <= max_bucket_size)
-        .select("band_idx", "band_hash")
+        .select("band", "band_sig")
     )
-    keys = keys.join(ok_buckets, ["band_idx", "band_hash"], "left_semi")
-    a = keys.select(F.col(norm).alias("norm_a"), "band_idx", "band_hash")
-    b = keys.select(F.col(norm).alias("norm_b"), "band_idx", "band_hash")
+    # dictionary-sized: materialize once, the self-join reads it twice
+    bands = bands.join(ok, ["band", "band_sig"], "left_semi").localCheckpoint(eager=True)
+    a = bands.select(F.col("doc_id").alias("norm_a"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("norm_b"), "band", "band_sig")
     return (
-        a.join(b, ["band_idx", "band_hash"])
+        a.join(b, ["band", "band_sig"])
         .filter(F.col("norm_a") < F.col("norm_b"))
         .select("norm_a", "norm_b")
         .distinct()
     )
 
 
-def verified_pairs(norms: DataFrame, norm: str = "norm", tau: float = JACCARD_TAU) -> DataFrame:
-    """Candidate pairs surviving exact 3-gram Jaccard >= tau."""
-    cands = candidate_pairs(norms, norm)
-    verified = cands.mapInPandas(_verify_batch, schema=_PAIR_SCHEMA)
-    return verified.filter(F.col("jaccard") >= F.lit(tau)).select("norm_a", "norm_b")
+def verified_pairs(
+    norms: DataFrame,
+    norm: str = "norm",
+    tau: float = JACCARD_TAU,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate pairs surviving exact 3-gram Jaccard >= tau.
+
+    Gram arrays are computed ONCE per distinct norm and joined to the pair
+    stream (dictionary side broadcasts when small); the Jaccard itself is
+    array_intersect arithmetic inside codegen.  A size prefilter removes
+    pairs that cannot reach tau (|A∩B| <= min(|A|,|B|), so J >= tau requires
+    min >= tau * max) before touching the arrays."""
+    cands = candidate_pairs(norms, norm, max_bucket_size)
+    # gram dictionary: materialize once, joined twice (subj/obj side)
+    d = (
+        norms.select(norm)
+        .distinct()
+        .select(F.col(norm), gram_array(norm).alias("grams"))
+        .withColumn("g_sz", F.size("grams"))
+        .localCheckpoint(eager=True)
+    )
+    a = d.select(
+        F.col(norm).alias("norm_a"), F.col("grams").alias("g_a"), F.col("g_sz").alias("sz_a")
+    )
+    b = d.select(
+        F.col(norm).alias("norm_b"), F.col("grams").alias("g_b"), F.col("g_sz").alias("sz_b")
+    )
+    joined = cands.join(a, "norm_a").join(b, "norm_b")
+    prefilter = F.least("sz_a", "sz_b") >= F.lit(tau) * F.greatest("sz_a", "sz_b")
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        joined.filter(prefilter)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(tau))
+        .select("norm_a", "norm_b")
+    )
