@@ -201,6 +201,81 @@ def _q_dedup_ngram(spark, sf):
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dedup_embedding(spark, sf):
+    return dedup.embedding_neardup(graft.load(spark, sf, "embeddings"), tau=0.35)
+
+
+def _q_p5(spark, sf):
+    # property-presence filter (has(ORDER) analog): events rows with a tool/props value
+    e = graft.load(spark, sf, "events")
+    return e.filter(F.col("props").isNotNull() & (F.col("props") != "")).select(
+        "event_id", "event_type"
+    )
+
+
+def _q_p6(spark, sf):
+    # theta predicate on property (orderGt(2) analog)
+    e = graft.load(spark, sf, "events")
+    return e.filter(F.col("value") > 2).select("event_id", "value")
+
+
+def _q_p9(spark, sf):
+    # role/config-file dispatch filter (isClass/isConfigFile analog)
+    t = graft.transcripts_from_events(spark, sf)
+    return t.filter(F.col("role").isin("click", "purchase")).select(
+        "conv_id", "turn_idx", "role"
+    )
+
+
+def _q_a3(spark, sf):
+    # bare node count (clear-path decision, NeptuneDriver.scala:69-77)
+    return graft.load(spark, sf, "customer").agg(F.count("*").alias("n"))
+
+
+def _q_j5(spark, sf):
+    # unindexed scan-lookup variant of J4: same semantics, shuffle-hash join
+    # forced (no broadcast) — the reference's index-off benchmark twin
+    c = graft.load(spark, sf, "customer")
+    keys = c.sparkSession.createDataFrame([(k,) for k in LOOKUP_NAMES], ["c_name"])
+    return (
+        c.join(keys.hint("shuffle_hash"), "c_name", "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q_f2(spark, sf):
+    # list<->CSV round-trip (IDriver.serializeLists/deserializeLists)
+    d = graft.load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", toks).alias("csv"),
+        F.size(toks).cast("long").alias("n_items"),
+        F.split(F.concat_ws(",", toks), ",").getItem(0).alias("first_item"),
+    )
+
+
+def _q_f8(spark, sf):
+    # deterministic content-hash IDs (artifact/method-body hashes, CHANGELOG.md:694,704)
+    c = graft.load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.concat_ws("|", F.lit("customer"), "c_name"), 256).alias("content_hash"),
+    )
+
+
+def _q_j8(spark, sf):
+    # schema-constraint anti-join: level-2 edges whose subj is NOT a customer
+    # node (checkEdgeConstraint recast) — count of out-of-domain sources
+    edges = graft.dag_edges(spark, sf)
+    cust = graft.load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("subj")
+    )
+    return edges.join(cust, "subj", "left_anti").agg(
+        F.count("*").alias("n_violations")
+    )
+
+
 def _q_text_stats(spark, sf):
     return text.token_stats(graft.load(spark, sf, "documents")).select(
         "doc_id",
@@ -292,6 +367,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "p5_property_presence": _q_p5,
+        "p6_theta_filter": _q_p6,
+        "p9_role_filter": _q_p9,
+        "a3_node_count": _q_a3,
+        "j5_scan_lookup": _q_j5,
+        "f2_list_csv": _q_f2,
+        "f8_content_hash": _q_f8,
+        "j8_constraint_check": _q_j8,
         "text_token_stats": _q_text_stats,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -567,7 +651,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE) AS cos_sim
         FROM embeddings, q
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
-    sql["ann_lsh_buckets"] = f"""
+    bucket_cte = f"""
         WITH e AS (
           SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
                  generate_subscripts(embedding, 1) AS i
@@ -577,10 +661,55 @@ def oracle_sql() -> dict[str, str]:
                  sum(x * (((i * {similarity._W_MUL_I} + (p+1) * {similarity._W_MUL_P})
                            % {similarity._W_MOD}) - {similarity._W_OFF})) AS s
           FROM e CROSS JOIN (SELECT unnest(range(0, {similarity.N_PLANES})) AS p)
-          GROUP BY vec_id, p)
-        SELECT vec_id,
-               CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-        FROM proj GROUP BY vec_id"""
+          GROUP BY vec_id, p),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id)"""
+    sql["ann_lsh_buckets"] = bucket_cte + "\nSELECT vec_id, bucket FROM buckets"
+    sql["dedup_embedding_cosine"] = (
+        bucket_cte
+        + """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                 CAST(eb.embedding AS DOUBLE[])), 4) AS DOUBLE) AS cos_sim
+        FROM buckets a
+        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])), 4) >= 0.35"""
+    )
+    sql["p5_property_presence"] = """
+        SELECT event_id, event_type FROM events
+        WHERE props IS NOT NULL AND props <> ''"""
+    sql["p6_theta_filter"] = "SELECT event_id, value FROM events WHERE value > 2"
+    sql["p9_role_filter"] = (
+        _TRANSCRIPTS_CTE
+        + "SELECT conv_id, turn_idx, role FROM transcripts WHERE role IN ('click', 'purchase')"
+    )
+    sql["a3_node_count"] = "SELECT count(*) AS n FROM customer"
+    sql["j5_scan_lookup"] = (
+        f"SELECT c_custkey, c_name FROM customer WHERE c_name IN ({names})"
+    )
+    sql["f2_list_csv"] = """
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               array_to_string(toks, ',') AS csv,
+               len(toks) AS n_items,
+               string_split(array_to_string(toks, ','), ',')[1] AS first_item
+        FROM t"""
+    sql["f8_content_hash"] = """
+        SELECT c_custkey, sha256('customer|' || c_name) AS content_hash
+        FROM customer"""
+    sql["j8_constraint_check"] = (
+        _EDGES_CTE
+        + """
+        SELECT count(*) AS n_violations FROM edges
+        WHERE subj NOT IN (SELECT c_custkey FROM customer)"""
+    )
     sql["ann_blocked_pairs"] = """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

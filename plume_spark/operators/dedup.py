@@ -179,6 +179,29 @@ def minhash_dedup(
     return jaccard_verify(pairs, tok, tau)
 
 
+def embedding_neardup(
+    embeddings: DataFrame, tau: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs -> (vec_a, vec_b, cos_sim).
+
+    Scale path: LSH sign-buckets (random-hyperplane, deterministic integer
+    weights) confine the pairwise cosine verify to same-bucket vectors —
+    sum(bucket^2) work instead of n^2.  High-cosine pairs land in the same
+    bucket with probability (1 - theta/pi)^n_planes, so this is the recall/
+    cost knob; all arithmetic is JVM-side (zip_with/aggregate, codegen).
+    """
+    from plume_spark.operators.similarity import blocked_cosine_pairs, lsh_buckets
+
+    buckets = lsh_buckets(embeddings, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "vec_id", id_col
+    )
+    with_bucket = embeddings.join(buckets, id_col)
+    return blocked_cosine_pairs(
+        with_bucket, block_col="bucket", tau=tau, id_col=id_col, vec_col=vec_col
+    )
+
+
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): 16-bit sign-sum fingerprint over dictionary token
     ids — near-dups differ in few bits (Hamming)."""

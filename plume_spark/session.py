@@ -46,6 +46,30 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # The iterative CC loop + wide extraction plans generate hundreds of
+        # codegen classes; the JVM default 240 MB code cache fills, the JIT
+        # silently disables itself, and every later per-row-hot expression
+        # runs interpreted (measured 30-100x slowdowns).  A 1 GB reserved
+        # cache + flushing keeps compilation alive for long sessions.  Only
+        # effective when this builder launches the JVM (normal case: tests,
+        # bench.py subprocesses, spark-submit driver).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        # Spark 4 routes lower()/upper() under UTF8_BINARY through ICU "full"
+        # case mappings whose first non-ASCII use triggers a titlecase lookup
+        # table built over the whole BMP (CollationAwareUTF8String.<clinit>,
+        # ~65k UCharacter.toTitleCase calls).  When the JIT queue is saturated
+        # after a codegen-heavy stage, that one-time init runs interpreted for
+        # 30-160 s — measured here.  JVM simple case mapping is correct for
+        # our normalization semantics (Latin + caseless CJK) and matches the
+        # DuckDB oracle, so pin it off.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
