@@ -42,6 +42,24 @@ HEADLINE = [
 ]
 
 
+SCALE_K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "8"))
+
+
+def _kg_build_scaled(spark, sf_dir):
+    """Flagship pipeline over the k-fold replicated transcript set — the
+    scaling-efficiency substrate (see graft.kg_transcripts_scaled: parallel
+    work grows k-fold, input stays deterministic and identical across
+    parallelism levels).  Bench-only: not part of the driver contract."""
+    from plume_spark import graft
+    from plume_spark.pipeline import run_pipeline, triples_with_names
+
+    t = graft.kg_transcripts_scaled(spark, sf_dir, SCALE_K)
+    return triples_with_names(run_pipeline(t, tau=0.95))
+
+
+EXTRA_QUERIES = {"kg_build_scaled": _kg_build_scaled}
+
+
 def _run_query(df) -> int:
     """Force full execution without driver materialization cost dominating:
     noop sink executes every task and discards rows."""
@@ -56,14 +74,14 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     spark = get_spark(
         app_name="plume-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **EXTRA_QUERIES}
     names = names or HEADLINE
     timings: dict[str, float] = {}
     n_triples = 0
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        if name == "kg_build_triples":
+        if name in ("kg_build_triples", "kg_build_scaled"):
             n_triples = df.count()  # count doubles as the action
         else:
             _run_query(df)
@@ -89,7 +107,7 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
     results = {}
     for n in levels:
         out = subprocess.run(
-            [sys.executable, __file__, "--single", "kg_build_triples"],
+            [sys.executable, __file__, "--single", "kg_build_scaled"],
             env={**os.environ, "SPARK_GRAFT_CPUS": str(n), "SPARK_GRAFT_SF_DIR": sf_dir},
             capture_output=True,
             text=True,

@@ -1,0 +1,140 @@
+"""CLI entry point — the Spark recast of the reference's CLI
+(src/main/scala/com/github/plume/oss/Plume.scala:17-28: parse config, bind a
+store backend, run the construction pipeline).
+
+Run locally or on a cluster:
+
+    spark-submit --py-files plume_spark.zip -m plume_spark build \
+        --input /data/transcripts.parquet --store /data/kg-store
+    python -m plume_spark build --generate 500 --store /tmp/kg-store
+    python -m plume_spark query --store /tmp/kg-store --top-predicates
+    python -m plume_spark export --store /tmp/kg-store --out /tmp/kg-json
+
+Subcommands mirror the reference's surface: ``build`` (createAst + bulkTx),
+``query`` (read benchmarks' ops), ``export`` (GraphML/JSON exporters),
+``clear`` (S8 destructive clear).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _build(args) -> int:
+    from plume_spark.pipeline import build_graph
+    from plume_spark.session import get_spark
+    from plume_spark.store.graph import GraphStore
+
+    spark = get_spark(app_name="plume-build", master=args.master)
+    if args.generate:
+        from plume_spark.generator import generate_transcripts
+
+        transcripts = generate_transcripts(spark, args.generate, seed=args.seed)
+    else:
+        transcripts = spark.read.parquet(args.input)
+    store = GraphStore(spark, args.store)
+    stats = build_graph(
+        transcripts,
+        store,
+        n_buckets=args.buckets,
+        tau=args.tau,
+        max_units=args.max_units,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def _query(args) -> int:
+    from plume_spark.session import get_spark
+    from plume_spark.store.graph import GraphStore
+
+    spark = get_spark(app_name="plume-query", master=args.master)
+    store = GraphStore(spark, args.store)
+    if args.top_predicates:
+        store.triples.read().groupBy("pred").count().orderBy(
+            F.col("count").desc()
+        ).show(50, truncate=False)
+    elif args.entity:
+        store.entities.read().filter(
+            F.col("canonical_name") == args.entity
+        ).show(truncate=False)
+    else:
+        print(
+            json.dumps(
+                {
+                    "entities": store.entities.row_count(),
+                    "triples": store.triples.row_count(),
+                    "lineage_commits": len(store.lineage.snapshots()),
+                }
+            )
+        )
+    return 0
+
+
+def _export(args) -> int:
+    from plume_spark.session import get_spark
+    from plume_spark.store.graph import GraphStore
+
+    spark = get_spark(app_name="plume-export", master=args.master)
+    store = GraphStore(spark, args.store)
+    if args.format == "graphml":
+        store.export_graphml(args.out)
+    else:
+        store.export_json(args.out)
+    print(json.dumps({"exported_to": args.out, "format": args.format}))
+    return 0
+
+
+def _clear(args) -> int:
+    from plume_spark.session import get_spark
+    from plume_spark.store.graph import GraphStore
+
+    spark = get_spark(app_name="plume-clear", master=args.master)
+    GraphStore(spark, args.store).clear()
+    print(json.dumps({"cleared": args.store}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="plume_spark")
+    p.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="transcripts -> entities/triples store")
+    b.add_argument("--input", help="transcript parquet path (conv_id, turn_idx, role, text, tool, ts)")
+    b.add_argument("--generate", type=int, default=0, help="instead of --input: generate N synthetic conversations")
+    b.add_argument("--seed", type=int, default=7)
+    b.add_argument("--store", required=True, help="graph store root directory")
+    b.add_argument("--buckets", type=int, default=64, help="conv_id hash-buckets (work/lineage units)")
+    b.add_argument("--tau", type=float, default=None, help="LSH verify threshold override")
+    b.add_argument("--max-units", type=int, default=None, help="process at most N pending buckets (chunked/incremental)")
+    b.set_defaults(fn=_build)
+
+    q = sub.add_parser("query", help="read ops over a built store")
+    q.add_argument("--store", required=True)
+    q.add_argument("--top-predicates", action="store_true")
+    q.add_argument("--entity", help="point lookup by canonical name")
+    q.set_defaults(fn=_query)
+
+    e = sub.add_parser("export", help="export the graph (S6/S7)")
+    e.add_argument("--store", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", choices=["json", "graphml"], default="json")
+    e.set_defaults(fn=_export)
+
+    c = sub.add_parser("clear", help="destructive clear (S8)")
+    c.add_argument("--store", required=True)
+    c.set_defaults(fn=_clear)
+
+    args = p.parse_args(argv)
+    if args.cmd == "build" and not (args.input or args.generate):
+        p.error("build requires --input or --generate")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,6 +62,29 @@ def kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_transcripts_scaled(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """kg_transcripts replicated k-fold with distinct conv_ids (suffix -rN).
+
+    The scaling-efficiency benchmark substrate: at the target scale (10^12
+    turns) per-core parallel work dwarfs the fixed per-job costs (dictionary
+    stages, scheduling), but sf0.1 alone is overhead-dominated and measures
+    scheduler noise, not scaling.  Replication grows the parallel fraction
+    while keeping the input deterministic and identical across parallelism
+    levels.  Replicas share surface forms, so the distinct-norm dictionary
+    (deliberately scale-free, like real entity vocabularies) is unchanged.
+    """
+    t = kg_transcripts(spark, sf_dir)
+    reps = spark.range(k).select(F.col("id").cast("int").alias("_rep"))
+    return t.crossJoin(reps).select(
+        F.concat("conv_id", F.lit("-r"), F.col("_rep")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
 def dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-level DAG over disjoint id namespaces: customer -> order -> part.
     The substrate for the traversal/read-benchmark operators (J6/J7/P7)."""

@@ -29,17 +29,67 @@ from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 3
 MAX_ITERS = 50
+# Below this many edges the similarity graph fits trivially on the driver:
+# collect + union-find beats 2-5 distributed label-propagation rounds (each
+# round = a shuffle + a barrier action; ~5-15 s of pure scheduling overhead
+# on small data).  The same physical-strategy adaptivity Spark itself applies
+# when it picks broadcast over shuffle joins.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_union_find(pairs: list[tuple]) -> list[tuple]:
+    """Union-find on the driver -> (node, component=min member) rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the canonical (min) member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = MAX_ITERS
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = MAX_ITERS,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the component.
 
     ``edges`` is an undirected pair list over any orderable node type
     (string norms or long ids).  Isolated nodes are the caller's concern:
     union them back with component = self.
+
+    Physical strategy is size-adaptive: small edge sets (<= DRIVER_CC_MAX_EDGES,
+    known cheaply from the similarity join's output) run as driver union-find;
+    large ones run the distributed salted label-propagation loop below.  Both
+    produce identical (node, min-member) output.
     """
+    cap = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    pair_df = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    head = pair_df.limit(cap + 1).collect() if cap > 0 else []
+    if cap > 0 and len(head) <= cap:
+        import pyspark.sql.types as T
+
+        node_t = pair_df.schema["a"].dataType
+        schema = T.StructType(
+            [T.StructField("node", node_t), T.StructField("component", node_t)]
+        )
+        rows = _driver_union_find([(r["a"], r["b"]) for r in head])
+        return edges.sparkSession.createDataFrame(rows, schema=schema)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -120,11 +120,16 @@ def verified_pairs(
     pairs that cannot reach tau (|A∩B| <= min(|A|,|B|), so J >= tau requires
     min >= tau * max) before touching the arrays."""
     cands = candidate_pairs(norms, norm, max_bucket_size)
-    # gram dictionary: materialize once, joined twice (subj/obj side)
+    # gram dictionary: xxhash64'd gram sets (array<long> intersects are ~10x
+    # cheaper than array<string> — no per-element string hashing/compares in
+    # the hot loop); materialized once, joined twice (subj/obj side)
     d = (
         norms.select(norm)
         .distinct()
-        .select(F.col(norm), gram_array(norm).alias("grams"))
+        .select(
+            F.col(norm),
+            F.transform(gram_array(norm), lambda g: F.xxhash64(g)).alias("grams"),
+        )
         .withColumn("g_sz", F.size("grams"))
         .localCheckpoint(eager=True)
     )
@@ -134,13 +139,21 @@ def verified_pairs(
     b = d.select(
         F.col(norm).alias("norm_b"), F.col("grams").alias("g_b"), F.col("g_sz").alias("sz_b")
     )
-    joined = cands.join(a, "norm_a").join(b, "norm_b")
+    # size prefilter rides in the join; the array intersect is projected ONCE
+    # after the join (in a join condition Catalyst would evaluate it per
+    # conjunct use — measured 5x slower), then filtered.
     prefilter = F.least("sz_a", "sz_b") >= F.lit(tau) * F.greatest("sz_a", "sz_b")
-    inter = F.size(F.array_intersect("g_a", "g_b"))
-    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
-        joined.filter(prefilter)
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= F.lit(tau))
-        .select("norm_a", "norm_b")
+    scored = (
+        cands.join(a, "norm_a")
+        .join(b, "norm_b")
+        .filter(prefilter)
+        .select(
+            "norm_a",
+            "norm_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("inter"),
+            "sz_a",
+            "sz_b",
+        )
     )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return scored.filter(jac >= F.lit(tau)).select("norm_a", "norm_b")

@@ -83,6 +83,38 @@ def test_similarity(spark):
     assert (0, 1) in pairs and (2, 3) not in pairs
 
 
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),    # antipodal
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup.embedding_neardup(emb, tau=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    # antipodal pair can never share an LSH bucket; orthogonal fails tau
+    assert not any(3 in p or 2 in p for p in pairs)
+
+
+def test_cli_build_query_export(spark, tmp_path):
+    """CLI surface (M5): build from generated transcripts, then query and
+    export against the same store — all through __main__.main."""
+    from plume_spark.__main__ import main
+
+    store = str(tmp_path / "store")
+    assert main(["build", "--generate", "12", "--store", store, "--seed", "3"]) == 0
+    assert main(["query", "--store", store]) == 0
+    out = str(tmp_path / "kg.graphml")
+    assert main(["export", "--store", store, "--out", out, "--format", "graphml"]) == 0
+    content = open(out).read()
+    assert content.startswith("<?xml") and "<node id=" in content and "<edge id=" in content
+    assert main(["clear", "--store", store]) == 0
+
+
 def test_ivf_topk_matches_brute_on_probed_cells(spark):
     import numpy as np
 
@@ -124,6 +156,29 @@ def test_traversal_tiny_graph(spark):
     assert reach == {1, 2, 3, 4, 5}
     up = {r["node"] for r in traversal.parent_walk(edges, spark.createDataFrame([(5,)], ["node"])).collect()}
     assert up == {5, 4, 2, 3, 1}
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """Size-adaptive CC: the driver union-find (small graphs) and the
+    distributed label-propagation loop must give identical components."""
+    from plume_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("m", "m"), ("c", "d")],
+        ["src", "dst"],
+    )
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, "src", "dst", driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert ("d", "a") in fast and ("y", "x") in fast and ("m", "m") in fast
 
 
 def test_no_rowwise_python_in_plans(spark, docs):
