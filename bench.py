@@ -101,22 +101,30 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+def run_scaling(sf_dir: str, levels=(8, 32), repeats: int = 2) -> dict:
     """Fresh subprocess per parallelism level (JMH-fork analog): same input,
-    same job, different core counts; efficiency = (T_low/T_high) / (N_high/N_low)."""
-    results = {}
-    for n in levels:
-        out = subprocess.run(
-            [sys.executable, __file__, "--single", "kg_build_scaled"],
-            env={**os.environ, "SPARK_GRAFT_CPUS": str(n), "SPARK_GRAFT_SF_DIR": sf_dir},
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[n] = json.loads(line)
+    same job, different core counts; efficiency = (T_low/T_high) / (N_high/N_low).
+
+    Levels are sampled ``repeats`` times INTERLEAVED (8,32,8,32,...) and the
+    per-level MIN is used: the job is deterministic, so min is the unbiased
+    estimator under the sandbox's intermittent external CPU steal (identical
+    runs vary up to 2x; see BENCH.md).  All samples are reported.
+    """
+    samples: dict[int, list[dict]] = {n: [] for n in levels}
+    for _ in range(repeats):
+        for n in levels:
+            out = subprocess.run(
+                [sys.executable, __file__, "--single", "kg_build_scaled"],
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(n), "SPARK_GRAFT_SF_DIR": sf_dir},
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            samples[n].append(json.loads(line))
+    best = {n: min(samples[n], key=lambda j: j["value"]) for n in levels}
     lo, hi = levels
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     speedup = t_lo / t_hi if t_hi else 0.0
     efficiency = speedup / (hi / lo)
     return {
@@ -124,10 +132,12 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
         "value": round(efficiency, 3),
         "unit": "ratio",
         "speedup": round(speedup, 3),
+        "scale_k": SCALE_K,
         "levels": {
             str(n): {
-                "sec": results[n]["value"],
-                "triples_per_sec": results[n]["triples_per_sec"],
+                "sec": best[n]["value"],
+                "triples_per_sec": best[n]["triples_per_sec"],
+                "samples_sec": [j["value"] for j in samples[n]],
             }
             for n in levels
         },
@@ -137,7 +147,14 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        # levels: N and 4N cores.  Default (8, 32) exercises the full box;
+        # SPARK_GRAFT_LEVELS=2,8 keeps both levels under the sandbox's
+        # noisy-neighbor floor (external load hits 32-thread runs
+        # disproportionately — see BENCH.md).
+        levels = tuple(
+            int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
+        )
+        print(json.dumps(run_scaling(SF_DIR, levels=levels)))
         return
     if "--single" in sys.argv:
         name = sys.argv[sys.argv.index("--single") + 1]

@@ -21,8 +21,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from plume_spark.functions.ids import entity_id_col
-from plume_spark.operators.components import connected_components
-from plume_spark.operators.linking import verified_pairs
+from plume_spark.operators.components import _driver_union_find, connected_components
+from plume_spark.operators.linking import driver_link_kernel, verified_pairs
+
+# Dictionary-size cutover for the driver-local linking kernel.  Entity
+# vocabularies are scale-free: even at 10^12 turns the distinct-norm
+# dictionary is typically << this, so most jobs take the kernel path; the
+# distributed LSH pipeline is the unbounded fallback (and the kernel is
+# asserted bit-identical to it in tests).
+DRIVER_LINK_MAX_NORMS = 500_000
 
 
 def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:
@@ -30,11 +37,27 @@ def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:
 
     Norms not linked to anything are their own canonical (isolated nodes are
     unioned back — connected_components only sees edge endpoints).
+
+    Physical strategy is size-adaptive, like components.connected_components:
+    a dictionary that fits the driver runs the whole LSH+verify+CC chain as
+    one vectorized local kernel (identical output, none of the ~20 small
+    shuffle stages); larger dictionaries run distributed.  Non-ASCII norms
+    force the distributed path (the kernel's vectorized hash assumes 1-byte
+    chars; textnorm emits ASCII, so this triggers only on foreign callers).
     """
     # the distinct-norm dictionary is read many times (banding, gram dict,
     # isolated-norm union) — materialize it once
     norms = mentions.select("norm").distinct().localCheckpoint(eager=True)
     kwargs = {} if tau is None else {"tau": tau}
+    head = norms.limit(DRIVER_LINK_MAX_NORMS + 1).collect()
+    if len(head) <= DRIVER_LINK_MAX_NORMS:
+        vals = [r["norm"] for r in head if r["norm"] is not None]
+        if all(v.isascii() for v in vals):
+            pairs = driver_link_kernel(vals, **kwargs)
+            comp = dict(_driver_union_find(pairs))
+            rows = [(n, comp.get(n, n)) for n in vals]
+            spark = mentions.sparkSession
+            return spark.createDataFrame(rows, "norm string, canonical_norm string")
     # materialize the similarity edges once: connected_components and every
     # downstream consumer would otherwise re-run the LSH + verify lineage
     edges = verified_pairs(norms, "norm", **kwargs).localCheckpoint(eager=True)

@@ -78,11 +78,13 @@ def find_mentions(text: str) -> list[Mention]:
     return mentions
 
 
-def find_relations(text: str) -> list[dict]:
+def find_relations(text: str, ms: list[Mention] | None = None) -> list[dict]:
     """Relations between consecutive mention pairs; FIRST keyword between the
     two spans wins, else the 'mentions' fallback.  Returns dicts with mention
-    spans, pred, endpoint kinds."""
-    ms = find_mentions(text)
+    spans, pred, endpoint kinds.  ``ms`` lets callers that already ran
+    find_mentions skip recomputing it."""
+    if ms is None:
+        ms = find_mentions(text)
     out = []
     for left, right in zip(ms, ms[1:]):
         between = text[left.end : right.start].lower()
@@ -96,10 +98,10 @@ def find_relations(text: str) -> list[dict]:
     return out
 
 
-def mention_kinds(text: str) -> dict[int, str]:
+def mention_kinds(text: str, relations: list[dict] | None = None) -> dict[int, str]:
     """span_start -> kind, from the first relation each mention joins."""
     kinds: dict[int, str] = {}
-    for r in find_relations(text):
+    for r in find_relations(text) if relations is None else relations:
         kinds.setdefault(r["subj"].start, r["subj_kind"])
         kinds.setdefault(r["obj"].start, r["obj_kind"])
     return kinds
@@ -153,8 +155,12 @@ def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
         try:
             if not isinstance(text, str) or not text:
                 continue
-            kinds = mention_kinds(text)
-            for ai, m in enumerate(find_mentions(text)):
+            # one mention scan + one relation scan per turn, shared by both
+            # record kinds (find_mentions is the expensive regex pass)
+            ms = find_mentions(text)
+            rels = find_relations(text, ms)
+            kinds = mention_kinds(text, rels)
+            for ai, m in enumerate(ms):
                 rows.append(
                     {
                         "rec_kind": "mention",
@@ -169,7 +175,7 @@ def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
                         "arg_index": ai,  # W2 ARGUMENT_INDEX analog
                     }
                 )
-            for r in find_relations(text):
+            for r in rels:
                 rows.append(
                     {
                         "rec_kind": "triple",
@@ -219,11 +225,13 @@ def extract_changelog(transcripts: DataFrame, n_parts: int | None = None) -> Dat
     rows instead of one tiny group per conversation (15k per-conv groups cost
     ~0.5 ms each in dispatch alone).  Conversations never split across parts,
     so per-conversation ordering semantics are intact.  ``n_parts`` defaults
-    to 4x parallelism; on a cluster, align it with the storage bucketing so
-    the groupBy is shuffle-free."""
+    to a fixed 256 — independent of parallelism, so the same input produces
+    identical work units at every cluster size (scaling runs stay comparable)
+    and each shuffle partition carries several groups for load balance; on a
+    cluster, align it with the storage bucketing so the groupBy is
+    shuffle-free."""
     valid, _ = split_valid_rejects(transcripts)
-    spark = transcripts.sparkSession
-    p = n_parts or max(spark.sparkContext.defaultParallelism * 4, 8)
+    p = n_parts or 256
     return (
         valid.select("conv_id", "turn_idx", "text")
         .withColumn("_part", F.pmod(F.xxhash64("conv_id"), F.lit(p)).cast("int"))

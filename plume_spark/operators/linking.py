@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from plume_spark.operators import dedup as dedup_mod
 from plume_spark.operators.dedup import MINHASH_P, minhash_signatures
 
 N_HASHES = 32
@@ -46,6 +47,61 @@ JACCARD_TAU = 0.55
 # Candidate volume is bounded by cap * |dict| * bands / 2, so the cap is the
 # linear knob against dense-cluster blowup; real alias groups are far smaller.
 MAX_BUCKET_SIZE = 32
+
+
+def driver_link_kernel(
+    norms: list[str],
+    tau: float = JACCARD_TAU,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> list[tuple[str, str]]:
+    """Driver-local replica of candidate_pairs + verified_pairs for
+    dictionary-sized norm sets: same xxhash64 (functions/xxh64.py, validated
+    bit-identical to Spark's), same minhash parameters, same banding, same
+    bucket cap, same exact-Jaccard verify — so the output pair set equals the
+    distributed path's exactly (asserted in tests).  ~20 distributed stages
+    (each a shuffle + scheduling barrier, ~15 s of fixed latency at any data
+    size) collapse into one vectorized numpy pass; entity vocabularies are
+    scale-free, so on the 10^12-turn target this path still covers most jobs
+    while `verified_pairs` remains the unbounded-dictionary fallback.
+    """
+    import numpy as np
+
+    from plume_spark.functions.xxh64 import xxh64_ngrams
+
+    if not norms:
+        return []
+    gram_sets = xxh64_ngrams(norms, 3)  # per-norm unique uint64 gram hashes
+    # minhash substrate: tok_id = pmod(signed hash, MINHASH_P), as in _gram_ids
+    n_bands = N_HASHES // ROWS_PER_BAND
+    a = np.array(dedup_mod.MINHASH_A[:N_HASHES], dtype=np.int64)
+    b = np.array(dedup_mod.MINHASH_B[:N_HASHES], dtype=np.int64)
+    buckets: dict[tuple, list[int]] = {}
+    for i, g in enumerate(gram_sets):
+        tok = (g.view(np.int64)) % MINHASH_P  # floored mod == Spark pmod
+        sig = (a[:, None] * tok[None, :] + b[:, None]) % MINHASH_P
+        mins = sig.min(axis=1)  # (N_HASHES,)
+        for band in range(n_bands):
+            key = (band, *mins[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND])
+            buckets.setdefault(key, []).append(i)
+    cands: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) > max_bucket_size:
+            continue  # non-discriminative bucket, dropped (skew kill)
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                ia, ib = members[x], members[y]
+                cands.add((ia, ib) if norms[ia] < norms[ib] else (ib, ia))
+    out = []
+    sizes = [len(g) for g in gram_sets]
+    sets = [set(g.tolist()) for g in gram_sets]
+    for ia, ib in cands:
+        sa, sb = sizes[ia], sizes[ib]
+        if min(sa, sb) < tau * max(sa, sb):
+            continue  # size prefilter, as in verified_pairs
+        inter = len(sets[ia] & sets[ib])
+        if inter / (sa + sb - inter) >= tau:
+            out.append((norms[ia], norms[ib]))
+    return out
 
 
 def gram_array(c: Column | str) -> Column:

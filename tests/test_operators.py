@@ -181,6 +181,58 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     assert ("d", "a") in fast and ("y", "x") in fast and ("m", "m") in fast
 
 
+def test_xxh64_matches_spark(spark):
+    """The driver kernel's vectorized XXH64 must be bit-identical to Spark's
+    xxhash64 expression (seed 42) — the guarantee that the driver-local and
+    distributed linking paths hash the same gram to the same value."""
+    import numpy as np
+
+    from plume_spark.functions.xxh64 import xxh64_fixed
+
+    grams = ["abc", "cus", "0 1", "a\x00\x00", "zz9", " 00", "x y", "q7 "]
+    df = spark.createDataFrame([(g,) for g in grams], ["g"]).select(
+        "g", F.xxhash64("g").alias("h")
+    )
+    spark_h = {r["g"]: r["h"] for r in df.collect()}
+    codes = [np.frombuffer(g.encode("latin-1"), dtype=np.uint8).astype(np.uint64) for g in grams]
+    cols = [np.array([c[b] for c in codes], dtype=np.uint64) for b in range(3)]
+    mine = xxh64_fixed(cols, 3).view(np.int64)
+    assert all(spark_h[g] == int(m) for g, m in zip(grams, mine))
+
+
+def test_driver_link_kernel_equals_distributed(spark):
+    """Size-adaptive linking: the driver kernel and the distributed
+    LSH+verify pipeline must emit the SAME verified pair set, and
+    norm_components must give the same canonicalization either way."""
+    from plume_spark.generator import generate_transcripts
+    from plume_spark.operators import canonicalize
+    from plume_spark.operators.extraction import extract_changelog, split_changelog
+    from plume_spark.operators.linking import driver_link_kernel, verified_pairs
+
+    t = generate_transcripts(spark, 40, seed=11)
+    mentions, _ = split_changelog(extract_changelog(t))
+    norms_df = mentions.select("norm").distinct()
+    vals = sorted(r["norm"] for r in norms_df.collect())
+    for tau in (0.55, 0.95):
+        dist = {tuple(r) for r in verified_pairs(norms_df, "norm", tau=tau).collect()}
+        kern = set(driver_link_kernel(vals, tau=tau))
+        assert dist == kern, (tau, dist ^ kern)
+    fast = {
+        (r["norm"], r["canonical_norm"])
+        for r in canonicalize.norm_components(mentions).collect()
+    }
+    saved = canonicalize.DRIVER_LINK_MAX_NORMS
+    try:
+        canonicalize.DRIVER_LINK_MAX_NORMS = 0  # force distributed
+        slow = {
+            (r["norm"], r["canonical_norm"])
+            for r in canonicalize.norm_components(mentions).collect()
+        }
+    finally:
+        canonicalize.DRIVER_LINK_MAX_NORMS = saved
+    assert fast == slow
+
+
 def test_no_rowwise_python_in_plans(spark, docs):
     """SURVEY §7 hard part (d): Python appears only as Arrow-batched nodes
     (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) — never as
