@@ -154,7 +154,8 @@ def main():
         levels = tuple(
             int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
         )
-        print(json.dumps(run_scaling(SF_DIR, levels=levels)))
+        repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+        print(json.dumps(run_scaling(SF_DIR, levels=levels, repeats=repeats)))
         return
     if "--single" in sys.argv:
         name = sys.argv[sys.argv.index("--single") + 1]
