@@ -181,6 +181,40 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     assert ("d", "a") in fast and ("y", "x") in fast and ("m", "m") in fast
 
 
+def test_hostile_inputs(spark):
+    """Edge inputs must not error: empty transcript set, whitespace-only and
+    unicode-only turns (no ASCII-uppercase mention starts by design),
+    5000-char single tokens."""
+    import datetime as dt
+
+    from plume_spark.pipeline import run_pipeline
+    from plume_spark.schemas import TRANSCRIPTS
+
+    empty = spark.createDataFrame([], schema=TRANSCRIPTS)
+    res = run_pipeline(empty, persist_changelog=False)
+    assert res.triples.count() == 0 and res.entities.count() == 0
+
+    ts = dt.datetime(2025, 1, 1)
+    hostile = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "   \t  ", None, ts),
+            ("c1", 1, "user", "日本語のテキストだけの発話です", None, ts),
+            ("c1", 2, "user", "x" * 5000, None, ts),
+            ("c1", 3, "user", "Alice Smith works at " + "Acme" + "x" * 4000, None, ts),
+        ],
+        schema=TRANSCRIPTS,
+    )
+    res2 = run_pipeline(hostile, persist_changelog=False)
+    assert res2.rejects.count() == 0  # none malformed, just hostile
+    assert res2.triples.count() >= 1  # the Alice row still links
+
+    big_doc = spark.createDataFrame([(0, "y" * 5000), (1, "")], ["doc_id", "text"])
+    stats = {r["doc_id"]: r for r in text.token_stats(big_doc).collect()}
+    assert stats[0]["n_tokens"] == 1 and stats[1]["n_tokens"] == 0
+    assert text.quality_score(big_doc).count() == 2
+    assert dedup.exact_dedup(big_doc).count() == 2
+
+
 def test_xxh64_matches_spark(spark):
     """The driver kernel's vectorized XXH64 must be bit-identical to Spark's
     xxhash64 expression (seed 42) — the guarantee that the driver-local and
