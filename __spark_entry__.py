@@ -276,6 +276,15 @@ def _q_j8(spark, sf):
     )
 
 
+def _q_w1_reassemble(spark, sf):
+    # per-turn text-equality round trip: turns concatenated in stable order
+    # (the north-rule invariant; reference analog TinkerGraphDbTests.scala:20-67)
+    from plume_spark.operators.ordering import reassemble
+
+    t = graft.transcripts_from_events(spark, sf)
+    return reassemble(t)
+
+
 def _q_text_stats(spark, sf):
     return text.token_stats(graft.load(spark, sf, "documents")).select(
         "doc_id",
@@ -349,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_turn_ordering": _q_w1,
         "w2_lag_context": _q_w2,
+        "w1_reassemble": _q_w1_reassemble,
         "o1_topk": _q_o1,
         "a1_group_sum": _q_a1,
         "a2_filtered_count": _q_a2,
@@ -455,6 +465,13 @@ def oracle_sql() -> dict[str, str]:
                  lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
           FROM transcripts)
         WHERE turn_idx < 3"""
+    )
+    sql["w1_reassemble"] = (
+        _TRANSCRIPTS_CTE
+        + """
+        SELECT conv_id,
+               string_agg(text, chr(10) ORDER BY turn_idx) AS joined_text
+        FROM transcripts GROUP BY conv_id"""
     )
     sql["o1_topk"] = (
         "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"

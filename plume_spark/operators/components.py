@@ -66,6 +66,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = MAX_ITERS,
     driver_max_edges: int | None = None,
+    n_salts: int = 0,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the component.
 
@@ -103,10 +104,20 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
 
     for i in range(max_iters):
-        # propagate: neighbor labels, min with own label — one shuffle round
+        # propagate: neighbor labels, min with own label — one shuffle round.
+        # n_salts > 0 scatters a hot node's edge rows across R replicated
+        # label rows (operators/skew.py) for the residual single-key skew AQE
+        # cannot split; the min-agg is partial either way, so hot keys only
+        # ever receive pre-combined partials.
+        lbl_b = labels.withColumnRenamed("node", "b")
+        if n_salts > 0:
+            from plume_spark.operators.skew import salted_join
+
+            joined = salted_join(sym, lbl_b, "b", n_salts=n_salts)
+        else:
+            joined = sym.join(lbl_b, "b")
         nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
+            joined.groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("a", "node")
         )

@@ -267,6 +267,35 @@ def test_driver_link_kernel_equals_distributed(spark):
     assert fast == slow
 
 
+def test_salted_join_and_salted_cc(spark):
+    """salted_join must be row-equivalent to a plain join (hot key included),
+    and the salted distributed CC loop must match the unsalted one."""
+    from plume_spark.operators.components import connected_components
+    from plume_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", 0), ("miss", 1)], ["k", "v"]
+    )
+    right = spark.createDataFrame([("hot", 10), ("cold", 20)], ["k", "w"])
+    plain = {tuple(r) for r in left.join(right, "k").collect()}
+    salted = {tuple(r) for r in salted_join(left, right, "k", n_salts=4).collect()}
+    assert plain == salted and len(plain) == 201
+
+    edges = spark.createDataFrame(
+        [("hub", f"n{i}") for i in range(50)] + [("n0", "n1"), ("iso", "iso2")],
+        ["src", "dst"],
+    )
+    base = {
+        tuple(r)
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    salted_cc = {
+        tuple(r)
+        for r in connected_components(edges, driver_max_edges=0, n_salts=4).collect()
+    }
+    assert base == salted_cc
+
+
 def test_no_rowwise_python_in_plans(spark, docs):
     """SURVEY §7 hard part (d): Python appears only as Arrow-batched nodes
     (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) — never as
