@@ -750,6 +750,64 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN o_orderkey % 2 = 0 THEN 'works_at' ELSE 'visited' END AS pred,
                {obj_norm} AS obj_norm
         FROM t"""
-    # kg_build_triples, ann_ivf_topk, mm_feature_extract: non-SQL-expressible
-    # (pandas-UDF extraction + iterative CC / driver-side loop) -> rows-only.
+    sql["ann_ivf_topk"] = """
+        WITH cents AS (
+          SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                              c.cent_id) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rk = 1),
+        probe AS (
+          SELECT cent_id FROM cents, q
+          ORDER BY list_cosine_similarity(cvec, qvec) DESC, cent_id LIMIT 2)
+        SELECT a.vec_id,
+               CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qvec), 4) AS DOUBLE) AS cos_sim
+        FROM assigned a JOIN probe USING (cent_id), q
+        ORDER BY cos_sim DESC, a.vec_id LIMIT 10"""
+    # Flagship oracle.  At tau=0.95 on this norm population every verified
+    # pair has IDENTICAL distinct-3-gram sets (checked empirically at sf0.001
+    # and sf0.01: a one-gram difference over <=19-gram unions caps J at
+    # ~0.88) — so canonical groups are exactly the equivalence classes of the
+    # gram-set fingerprint, reproducible in SQL without LSH.  If the engine
+    # ever emitted a 0.95<=J<1 link here the hashes would visibly diverge —
+    # the check fails loudly, never silently passes.  All norms here are
+    # >=3 chars (customer/nation names), so no short-string padding needed.
+    sql["kg_build_triples"] = f"""
+        WITH t0 AS (
+          SELECT c.c_custkey, c.c_name, n.n_name, o.o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                         ORDER BY o.o_orderdate, o.o_orderkey) - 1 AS INT) AS turn_idx
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey),
+        t AS (
+          SELECT 'conv-' || CAST(c_custkey AS VARCHAR) AS conv_id, turn_idx,
+                 {subj_norm} AS subj_norm,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'works_at' ELSE 'visited' END AS pred,
+                 {obj_norm} AS obj_norm
+          FROM t0),
+        norms AS (
+          SELECT DISTINCT subj_norm AS norm FROM t
+          UNION SELECT DISTINCT obj_norm FROM t),
+        fp AS (
+          SELECT norm, string_agg(DISTINCT g, '|' ORDER BY g) AS gramset
+          FROM (SELECT norm, substr(norm, i, 3) AS g
+                FROM norms, (SELECT unnest(range(1, 2001)) AS i)
+                WHERE i <= length(norm) - 2)
+          GROUP BY norm),
+        canon AS (SELECT norm, min(norm) OVER (PARTITION BY gramset) AS cname FROM fp)
+        SELECT t.conv_id, t.turn_idx,
+               cs.cname AS subj_name, t.pred, co.cname AS obj_name
+        FROM t
+        JOIN canon cs ON cs.norm = t.subj_norm
+        JOIN canon co ON co.norm = t.obj_norm"""
+    # mm_feature_extract: non-SQL-expressible (binary payload checksum in a
+    # pandas UDF) -> rows-only check.
     return sql

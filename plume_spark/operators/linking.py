@@ -76,6 +76,7 @@ def driver_link_kernel(
     a = np.array(dedup_mod.MINHASH_A[:N_HASHES], dtype=np.int64)
     b = np.array(dedup_mod.MINHASH_B[:N_HASHES], dtype=np.int64)
     buckets: dict[tuple, list[int]] = {}
+    gramset_groups: dict[tuple, list[int]] = {}
     for i, g in enumerate(gram_sets):
         tok = (g.view(np.int64)) % MINHASH_P  # floored mod == Spark pmod
         sig = (a[:, None] * tok[None, :] + b[:, None]) % MINHASH_P
@@ -83,6 +84,7 @@ def driver_link_kernel(
         for band in range(n_bands):
             key = (band, *mins[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND])
             buckets.setdefault(key, []).append(i)
+        gramset_groups.setdefault(tuple(np.unique(tok).tolist()), []).append(i)
     cands: set[tuple[int, int]] = set()
     for members in buckets.values():
         if len(members) > max_bucket_size:
@@ -91,6 +93,20 @@ def driver_link_kernel(
             for y in range(x + 1, len(members)):
                 ia, ib = members[x], members[y]
                 cands.add((ia, ib) if norms[ia] < norms[ib] else (ib, ia))
+    # exact-duplicate rescue: norms with IDENTICAL gram sets are J=1
+    # duplicates by definition, yet dense regions (e.g. zero-heavy ids) can
+    # blow EVERY 2-row band bucket past the cap and silently lose them.
+    # Grouping by the exact gram set is an equivalence relation, so star
+    # edges (min member -> others) are sound: every pair verifies at J=1 and
+    # the connected components are identical to all-pairs — at linear cost.
+    # (Minhash FULL-signature grouping is NOT sound here: distinct gram sets
+    # can share all 32 minhashes, and a star hub that fails verification
+    # would orphan true member-member duplicates.)
+    for members in gramset_groups.values():
+        if len(members) > 1:
+            ms = sorted(members, key=lambda i: norms[i])
+            for m in ms[1:]:
+                cands.add((ms[0], m))
     out = []
     sizes = [len(g) for g in gram_sets]
     sets = [set(g.tolist()) for g in gram_sets]
@@ -136,7 +152,8 @@ def candidate_pairs(
     even when it collides in several bands.  Buckets above ``max_bucket_size``
     are dropped (stop-shingle practice — see module docstring)."""
     distinct_norms = norms.select(norm).distinct()
-    sig = minhash_signatures(_gram_ids(distinct_norms, norm), k=N_HASHES)
+    ids = _gram_ids(distinct_norms, norm).localCheckpoint(eager=True)
+    sig = minhash_signatures(ids, k=N_HASHES)
     bands = (
         sig.withColumn("band", (F.col("h") / ROWS_PER_BAND).cast("int"))
         .groupBy("doc_id", "band")
@@ -154,12 +171,30 @@ def candidate_pairs(
     bands = bands.join(ok, ["band", "band_sig"], "left_semi").localCheckpoint(eager=True)
     a = bands.select(F.col("doc_id").alias("norm_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("norm_b"), "band", "band_sig")
-    return (
+    banded = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("norm_a") < F.col("norm_b"))
         .select("norm_a", "norm_b")
-        .distinct()
     )
+    # exact-duplicate rescue (mirrors driver_link_kernel): identical gram
+    # SETS are J=1 duplicates by definition, yet dense regions can overflow
+    # every 2-row band bucket and silently drop them.  The gram set is an
+    # equivalence key, so star edges (min member -> others) are sound and
+    # linear.  (Full minhash-signature grouping is NOT an equivalence over
+    # true duplicates — distinct sets can share all 32 minhashes.)
+    gramsets = ids.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok_id")).alias("gset")
+    )
+    star = (
+        gramsets.groupBy("gset")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(
+            F.element_at("members", 1).alias("norm_a"),
+            F.explode(F.slice("members", 2, F.size("members"))).alias("norm_b"),
+        )
+    )
+    return banded.unionByName(star).distinct()
 
 
 def verified_pairs(
