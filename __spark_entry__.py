@@ -658,9 +658,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
           FROM t)
         SELECT doc_id,
-               sum((pos * (((length(tok) * 131 + ascii(tok)) * 131 + ascii(reverse(tok)))
-                           % 1000000007)) % 1000000007)
-                 % 1000000007 AS fingerprint
+               CAST(sum((pos * (((length(tok) * 131 + ascii(tok)) * 131 + ascii(reverse(tok)))
+                                % 1000000007)) % 1000000007)
+                    % 1000000007 AS BIGINT) AS fingerprint
         FROM e GROUP BY doc_id"""
     sql["ann_cosine_topk"] = """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
@@ -808,6 +808,19 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         JOIN canon cs ON cs.norm = t.subj_norm
         JOIN canon co ON co.norm = t.obj_norm"""
-    # mm_feature_extract: non-SQL-expressible (binary payload checksum in a
-    # pandas UDF) -> rows-only check.
+    # mm_feature_extract IS oracle-checkable on this fixture: the payload is
+    # the utf-8 encoding of `text` (graft.documents_media), and sf0.01 text is
+    # pure ASCII (verified: octet_length(encode(text)) == length(text) for all
+    # rows), so byte values == character codes.  The real binary-decode path
+    # stays non-SQL (multimodal.decode_*); only the deterministic fixture is.
+    sql["mm_feature_extract"] = """
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS modality,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(coalesce(list_aggregate(
+                      list_transform(string_split_regex(text, ''), c -> ascii(c)),
+                      'sum'), 0) % 4611686018427387904 AS BIGINT) AS checksum
+        FROM documents"""
     return sql
