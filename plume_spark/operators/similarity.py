@@ -1,15 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
 * brute_force_topk — exact cosine top-k against a query vector; the baseline.
-  All arithmetic via F.zip_with/F.aggregate (JVM-side, codegen) — no UDF.
 * lsh_buckets — random-hyperplane signs with integer pseudo-weights
   (deterministic, engine-portable); the blocking path for pairwise search.
 * blocked_cosine_pairs — near-dup pairs within coarse blocks (label column or
   LSH bucket): the IVF-style scale path — at 100 TB you never all-pairs, you
   bucket then verify within buckets.
+
+Hot-path arithmetic is UNROLLED into fixed-width element_at expression chains
+(whole-stage codegen) rather than F.aggregate/F.zip_with higher-order
+functions: HOFs evaluate interpreted per element with per-call allocation —
+measured ~300 us/pair on 64-dim vectors (66 s for 200k pairs at sf0.1) vs
+single-digit seconds unrolled.  The left-fold Add chain reproduces the same
+sequential float64 summation as the HOF fold and the DuckDB oracle, so values
+are bit-identical.  Norms are computed once per row BEFORE the pair join,
+never per pair.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -23,6 +33,7 @@ _W_OFF = 4095
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """HOF fallback for unknown-width arrays (not used in hot paths)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -40,6 +51,29 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _de(c: Column, i: int) -> Column:
+    """i-th element (1-based) as double — the codegen'd scalar access."""
+    return F.element_at(c, i).cast("double")
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Left-fold sum of element products: ((a1*b1 + a2*b2) + a3*b3)... —
+    the same sequential float64 accumulation as a fold/loop, fully codegen."""
+    return reduce(lambda acc, t: acc + t, (_de(a, i) * _de(b, i) for i in range(1, dim + 1)))
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    return F.sqrt(reduce(lambda acc, t: acc + t, (_de(a, i) * _de(a, i) for i in range(1, dim + 1))))
+
+
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (uniform-width contract; one tiny job)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_vec_id: int, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -49,12 +83,17 @@ def brute_force_topk(
     The 1-row query side is a broadcast cross join — every executor scores
     its partition locally; the only shuffle is the final top-k (TakeOrdered).
     """
+    dim = infer_dim(embeddings, vec_col)
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        _as_double(F.col(vec_col)).alias("qvec")
+        F.col(vec_col).alias("qvec")
     )
     scored = embeddings.crossJoin(F.broadcast(q)).select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(_as_double(F.col(vec_col)), F.col("qvec")), 4).alias("cos_sim"),
+        F.round(
+            dot_unrolled(F.col(vec_col), F.col("qvec"), dim)
+            / (norm_unrolled(F.col(vec_col), dim) * norm_unrolled(F.col("qvec"), dim)),
+            4,
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
 
@@ -67,19 +106,19 @@ def lsh_buckets(
 
     Weights are a pure arithmetic function of (plane, dim) — no weight table
     to broadcast, no randomness to persist, identical across engines/runs.
+    The projection is an unrolled weighted sum (weights are Python-computed
+    literals), one codegen expression per plane.
     """
-    v = _as_double(F.col(vec_col))
+    dim = infer_dim(embeddings, vec_col)
+    v = F.col(vec_col)
     bucket = None
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(1), F.size(vec_col)),
-                lambda x, i: x
-                * (((i * _W_MUL_I + (p + 1) * _W_MUL_P) % _W_MOD) - _W_OFF),
+        proj = reduce(
+            lambda acc, t: acc + t,
+            (
+                _de(v, i) * F.lit(float(((i * _W_MUL_I + (p + 1) * _W_MUL_P) % _W_MOD) - _W_OFF))
+                for i in range(1, dim + 1)
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
         )
         bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
@@ -93,20 +132,32 @@ def blocked_cosine_pairs(
     """Near-duplicate pairs (cosine >= tau) within blocks — IVF-style:
     the pairwise join is confined to same-block vectors, so cost is
     sum(block^2) not total^2.  ``block_col`` may be a data column (label)
-    or the output of lsh_buckets joined on."""
-    a = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_a"),
-        _as_double(F.col(vec_col)).alias("va"),
+    or the output of lsh_buckets joined on.
+
+    Norms are projected ONCE per row before the self-join; each pair costs
+    one unrolled dot + one divide (codegen), not three HOF traversals."""
+    dim = infer_dim(embeddings, vec_col)
+    with_norm = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        norm_unrolled(F.col(vec_col), dim).alias("_n"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_b"),
-        _as_double(F.col(vec_col)).alias("vb"),
+    a = with_norm.select(
+        "blk", F.col("_vid").alias("vec_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = with_norm.select(
+        "blk", F.col("_vid").alias("vec_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
     )
     return (
         a.join(b, "blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
     )
@@ -123,8 +174,13 @@ def ivf_topk(
 
     The centroid table is tiny -> broadcast; assignment is one map-side pass.
     """
+    dim = infer_dim(embeddings, vec_col)
+
+    def cos(a: Column, b: Column) -> Column:
+        return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
+
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cvec")
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
     assigned = (
         embeddings.crossJoin(F.broadcast(cents))
@@ -132,7 +188,7 @@ def ivf_topk(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("emb"),
             "cent_id",
-            cosine(_as_double(F.col(vec_col)), F.col("cvec")).alias("sim"),
+            cos(F.col(vec_col), F.col("cvec")).alias("sim"),
         )
         .withColumn(
             "rk",
@@ -144,11 +200,11 @@ def ivf_topk(
         .select("vec_id", "emb", "cent_id")
     )
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        _as_double(F.col(vec_col)).alias("qvec")
+        F.col(vec_col).alias("qvec")
     )
     probe_cells = (
         cents.crossJoin(F.broadcast(q))
-        .select("cent_id", cosine(F.col("cvec"), F.col("qvec")).alias("sim"))
+        .select("cent_id", cos(F.col("cvec"), F.col("qvec")).alias("sim"))
         .orderBy(F.col("sim").desc(), "cent_id")
         .limit(n_probe)
         .select("cent_id")
@@ -157,7 +213,7 @@ def ivf_topk(
         assigned.join(F.broadcast(probe_cells), "cent_id")
         .crossJoin(F.broadcast(q))
         .select(
-            "vec_id", F.round(cosine(_as_double(F.col("emb")), F.col("qvec")), 4).alias("cos_sim")
+            "vec_id", F.round(cos(F.col("emb"), F.col("qvec")), 4).alias("cos_sim")
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)

@@ -17,6 +17,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Conservative driver-heap default: a quarter of physical RAM, clamped
+    to [2g, 24g] — 24g on the 128 GiB bench box, but safe on small CI
+    containers (a fixed 24g can fail JVM startup / trip the OOM killer).
+    Override with PLUME_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, gib // 4))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "plume-spark",
     master: str | None = None,
@@ -42,7 +58,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("PLUME_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("PLUME_DRIVER_MEM", _default_driver_mem()))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -50,16 +66,22 @@ def get_spark(
         # codegen classes; the JVM default 240 MB code cache fills, the JIT
         # silently disables itself, and every later per-row-hot expression
         # runs interpreted (measured 30-100x slowdowns).  A 1 GB reserved
-        # cache + flushing keeps compilation alive for long sessions.  Only
-        # effective when this builder launches the JVM (normal case: tests,
-        # bench.py subprocesses, spark-submit driver).
+        # cache + flushing keeps compilation alive for long sessions.
+        # -XX:-DontCompileHugeMethods: unrolled vector arithmetic (similarity
+        # dot/norm chains) generates single codegen methods past HotSpot's 8 KB
+        # huge-method limit, which the JIT otherwise silently refuses to
+        # compile — measured 3.5x on blocked cosine scoring.  Only effective
+        # when this builder launches the JVM (normal case: tests, bench.py
+        # subprocesses, spark-submit driver).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:-DontCompileHugeMethods",
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:-DontCompileHugeMethods",
         )
         # Spark 4 routes lower()/upper() under UTF8_BINARY through ICU "full"
         # case mappings whose first non-ASCII use triggers a titlecase lookup
