@@ -192,7 +192,7 @@ def _q_dedup_minhash(spark, sf):
 
 
 def _q_dedup_simhash(spark, sf):
-    return dedup.simhash(graft.load(spark, sf, "documents"))
+    return dedup.simhash(graft.load(spark, sf, "documents"), portable_ids=True)
 
 
 def _q_dedup_ngram(spark, sf):
@@ -342,6 +342,78 @@ def _q_kg_build(spark, sf):
     return triples_with_names(run_pipeline(t, tau=0.95))
 
 
+def _q_j8b_kind_constraints(spark, sf):
+    # endpoint-KIND constraint validation (SchemaBuilder.checkEdgeConstraint):
+    # perturb every 7th turn's obj_kind to 'tool' — works_at/visited require
+    # obj kind 'org', so exactly those rows violate; count per pred.
+    from plume_spark.operators.constraints import kind_violations
+
+    t = graft.kg_transcripts(spark, sf)
+    _, raw = split_changelog(extract_changelog(t))
+    typed = raw.select(
+        "pred",
+        "subj_kind",
+        F.when(F.col("turn_idx") % 7 == 0, F.lit("tool"))
+        .otherwise(F.col("obj_kind"))
+        .alias("obj_kind"),
+    )
+    return kind_violations(typed).groupBy("pred").agg(
+        F.count("*").alias("n_violations")
+    )
+
+
+def _q_parent_walk(spark, sf):
+    # astUp analog (OverflowDbReadBenchmark.scala:70-78): root-ward walk from
+    # part leaves through orders to customers over the 3-level DAG.
+    edges = graft.dag_edges(spark, sf)
+    seeds = (
+        graft.load(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") < 3)
+        .select((F.lit(graft.NODE_PART_OFFSET) + F.col("l_partkey")).alias("node"))
+        .distinct()
+    )
+    return traversal.parent_walk(edges, seeds)
+
+
+def _q_order_sum(spark, sf):
+    # orderSum read benchmark (OverflowDbReadBenchmark.scala:81-89) through
+    # the traversal module; l_linenumber is the integer 'order' property.
+    nodes = graft.load(spark, sf, "lineitem").select(
+        F.col("l_linenumber").alias("order")
+    )
+    return traversal.order_sum(nodes)
+
+
+def _q_order_count(spark, sf):
+    # callOrder filtered count (OverflowDbReadBenchmark.scala:92-99).
+    nodes = graft.load(spark, sf, "lineitem").select(
+        F.col("l_linenumber").alias("order")
+    )
+    return traversal.filtered_count(nodes, "order", 2)
+
+
+def _q_a4_map_merge(spark, sf):
+    # A4 per-id property-map group-merge (TigerGraphDriver.scala:233-237):
+    # first-wins per key, key-sorted map; projected to k=v CSV for the
+    # engine-portable value hash.
+    from plume_spark.operators.properties import merge_property_maps
+
+    e = graft.load(spark, sf, "events").withColumn(
+        "props", F.coalesce("props", F.lit(""))
+    )
+    merged = merge_property_maps(e, "user_id", "event_type", "props", "event_id")
+    return merged.select(
+        "user_id",
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.map_entries("props"),
+                lambda kv: F.concat_ws("=", kv["key"], kv["value"]),
+            ),
+        ).alias("props_csv"),
+    )
+
+
 def _q_mm_features(spark, sf):
     from plume_spark.operators.multimodal import extract_features
 
@@ -397,6 +469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_raw": _q_kg_extract_raw,
         "kg_build_triples": _q_kg_build,
         "mm_feature_extract": _q_mm_features,
+        "j8b_kind_constraints": _q_j8b_kind_constraints,
+        "j7_parent_walk": _q_parent_walk,
+        "a1_order_sum": _q_order_sum,
+        "a2_order_count": _q_order_count,
+        "a4_map_merge": _q_a4_map_merge,
     }
 
 
@@ -420,19 +497,26 @@ WITH edges AS (
   SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem)
 """
 
-_TOK_CTE = """
+# portable token ids: polynomial rolling hash over character codes mod P —
+# mirrors dedup.portable_token_ids exactly (fold(acc*131 + ascii(c)) mod P);
+# the CAST(0 AS BIGINT) seed forces 64-bit accumulation (acc*131 overflows
+# INT32).  No dictionary, no global sort — on either engine.
+_POLY_ID = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split_regex(tok, ''), c -> ascii(c))), "
+    f"(a, b) -> (a * {dedup.POLY_MUL} + b) % {dedup.MINHASH_P})"
+)
+
+_TOK_CTE = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   WHERE tok <> ''),
-dict AS (
-  SELECT tok, row_number() OVER (ORDER BY tok) AS tok_id
-  FROM (SELECT DISTINCT tok FROM tok)),
-ids AS (SELECT t.doc_id, d.tok_id FROM tok t JOIN dict d USING (tok))
+ids AS (SELECT doc_id, {_POLY_ID} AS tok_id FROM tok)
 """
 
 # word-3-gram shingle units for minhash (order-sensitive near-dup unit)
-_SHINGLE_CTE = """
+_SHINGLE_CTE = f"""
 WITH t0 AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
   WHERE len(string_split(text, ' ')) >= 3),
@@ -440,10 +524,7 @@ tok AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
   FROM t0, (SELECT unnest(range(1, 2001)) AS i)
   WHERE i <= len(toks) - 2),
-dict AS (
-  SELECT tok, row_number() OVER (ORDER BY tok) AS tok_id
-  FROM (SELECT DISTINCT tok FROM tok)),
-ids AS (SELECT t.doc_id, d.tok_id FROM tok t JOIN dict d USING (tok))
+ids AS (SELECT doc_id, {_POLY_ID} AS tok_id FROM tok)
 """
 
 _MINHASH_PARAMS = ", ".join(
@@ -540,10 +621,26 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, h // {dedup.BAND_ROWS} AS band,
                  string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
           FROM sig GROUP BY doc_id, h // {dedup.BAND_ROWS}),
-        cand AS (
+        okb AS (
+          SELECT band, band_sig FROM bands
+          GROUP BY band, band_sig HAVING count(*) <= {dedup.MAX_BUCKET_SIZE}),
+        bandsok AS (
+          SELECT bands.* FROM bands
+          JOIN okb ON bands.band = okb.band AND bands.band_sig = okb.band_sig),
+        cand0 AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+          FROM bandsok a JOIN bandsok b ON a.band = b.band AND a.band_sig = b.band_sig
           WHERE a.doc_id < b.doc_id),
+        gsets AS (
+          SELECT doc_id, string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY tok_id) AS gset
+          FROM (SELECT DISTINCT doc_id, tok_id FROM ids) GROUP BY doc_id),
+        starg AS (
+          SELECT gset, min(doc_id) AS mn FROM gsets
+          GROUP BY gset HAVING count(*) > 1),
+        star AS (
+          SELECT g.mn AS doc_a, s.doc_id AS doc_b
+          FROM gsets s JOIN starg g ON s.gset = g.gset AND s.doc_id <> g.mn),
+        cand AS (SELECT doc_a, doc_b FROM cand0 UNION SELECT doc_a, doc_b FROM star),
         sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -808,6 +905,58 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         JOIN canon cs ON cs.norm = t.subj_norm
         JOIN canon co ON co.norm = t.obj_norm"""
+    from plume_spark.schemas import EDGE_CONSTRAINTS
+
+    rules_values = ", ".join(
+        f"('{p}', '{s}', '{o}')"
+        for p, (ss, oo) in EDGE_CONSTRAINTS.items()
+        for s in ss
+        for o in oo
+    )
+    sql["j8b_kind_constraints"] = f"""
+        WITH t AS (
+          SELECT o.o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                         ORDER BY o.o_orderdate, o.o_orderkey) - 1 AS INT) AS turn_idx
+          FROM customer c
+          JOIN orders o ON o.o_custkey = c.c_custkey),
+        typed AS (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'works_at' ELSE 'visited' END AS pred,
+                 'person' AS subj_kind,
+                 CASE WHEN turn_idx % 7 = 0 THEN 'tool' ELSE 'org' END AS obj_kind
+          FROM t),
+        rules(pred, r_subj, r_obj) AS (VALUES {rules_values})
+        SELECT pred, count(*) AS n_violations
+        FROM typed ty
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rules r
+          WHERE r.pred = ty.pred
+            AND (r.r_subj = '*' OR r.r_subj = ty.subj_kind)
+            AND (r.r_obj = '*' OR r.r_obj = ty.obj_kind))
+        GROUP BY pred"""
+    sql["j7_parent_walk"] = """
+        SELECT DISTINCT 2000000 + l_partkey AS node FROM lineitem WHERE l_partkey < 3
+        UNION
+        SELECT DISTINCT 1000000 + l_orderkey FROM lineitem WHERE l_partkey < 3
+        UNION
+        SELECT DISTINCT o_custkey
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_partkey < 3"""
+    sql["a1_order_sum"] = (
+        "SELECT CAST(sum(l_linenumber) AS BIGINT) AS order_sum FROM lineitem"
+    )
+    sql["a2_order_count"] = "SELECT count(*) AS n FROM lineitem WHERE l_linenumber > 2"
+    sql["a4_map_merge"] = """
+        WITH firsts AS (
+          SELECT user_id, event_type, props FROM (
+            SELECT user_id, event_type, coalesce(props, '') AS props,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY event_id) AS rk
+            FROM events)
+          WHERE rk = 1)
+        SELECT user_id,
+               string_agg(event_type || '=' || props, ';' ORDER BY event_type) AS props_csv
+        FROM firsts GROUP BY user_id"""
     # mm_feature_extract IS oracle-checkable on this fixture: the payload is
     # the utf-8 encoding of `text` (graft.documents_media), and sf0.01 text is
     # pure ASCII (verified: octet_length(encode(text)) == length(text) for all

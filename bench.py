@@ -27,8 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # headline subset: the flagship e2e build + one per operator family
+# (kg_build_distlink = same flagship with the driver-link kernel off — keeps
+# the distributed LSH linking path honest at bench scale)
 HEADLINE = [
     "kg_build_triples",
+    "kg_build_distlink",
     "kg_extract_raw",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -57,7 +60,29 @@ def _kg_build_scaled(spark, sf_dir):
     return triples_with_names(run_pipeline(t, tau=0.95))
 
 
-EXTRA_QUERIES = {"kg_build_scaled": _kg_build_scaled}
+def _kg_build_distlink(spark, sf_dir):
+    """Flagship pipeline with the driver-local linking kernel DISABLED — the
+    unbounded-dictionary fallback (distributed LSH + verify + CC) measured at
+    bench scale, not just unit-test scale.  The path decision happens eagerly
+    inside norm_components, so toggling the module constant around the call
+    is sufficient; output is bit-identical to the kernel path (tested)."""
+    from plume_spark import graft
+    from plume_spark.operators import canonicalize
+    from plume_spark.pipeline import run_pipeline, triples_with_names
+
+    saved = canonicalize.DRIVER_LINK_MAX_NORMS
+    canonicalize.DRIVER_LINK_MAX_NORMS = 0
+    try:
+        t = graft.kg_transcripts(spark, sf_dir)
+        return triples_with_names(run_pipeline(t, tau=0.95))
+    finally:
+        canonicalize.DRIVER_LINK_MAX_NORMS = saved
+
+
+EXTRA_QUERIES = {
+    "kg_build_scaled": _kg_build_scaled,
+    "kg_build_distlink": _kg_build_distlink,
+}
 
 
 def _run_query(df) -> int:
@@ -154,6 +179,11 @@ def main():
         levels = tuple(
             int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
         )
+        if len(levels) != 2 or levels[0] >= levels[1]:
+            raise SystemExit(
+                f"SPARK_GRAFT_LEVELS must be exactly two ascending core counts "
+                f"(e.g. 8,32), got {os.environ.get('SPARK_GRAFT_LEVELS')!r}"
+            )
         repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
         print(json.dumps(run_scaling(SF_DIR, levels=levels, repeats=repeats)))
         return

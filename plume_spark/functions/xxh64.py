@@ -65,6 +65,16 @@ def xxh64_ngrams(strings: list[str], n: int = 3) -> list[np.ndarray]:
     """Per-string arrays of xxh64 values of its distinct character n-grams
     (NUL-padded to length n, matching linking.gram_array).  Vectorized: one
     flat hash pass over all (string, gram) occurrences."""
+    if not all(s.isascii() for s in strings):
+        # latin-1 encoding below diverges from Spark's UTF-8 hashing for
+        # U+0080..U+00FF (silently wrong hashes) and raises confusingly
+        # beyond U+00FF — refuse loudly instead, mirroring the >=32-byte
+        # guard: a mismatch with the distributed path must never be silent.
+        raise NotImplementedError(
+            "xxh64_ngrams is ASCII-only (Spark xxhash64 hashes UTF-8 bytes; "
+            "the vectorized kernel assumes 1 byte per char) — route non-ASCII "
+            "norms through the distributed linking path"
+        )
     padded = [s + "\x00" * (n - len(s)) if len(s) < n else s for s in strings]
     counts = np.array([len(s) - n + 1 for s in padded])
     flat = "".join(padded)

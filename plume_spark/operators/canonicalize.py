@@ -17,6 +17,8 @@ reference's list-valued node property, SchemaBuilder.scala:17,40-42).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,8 +30,9 @@ from plume_spark.operators.linking import driver_link_kernel, verified_pairs
 # vocabularies are scale-free: even at 10^12 turns the distinct-norm
 # dictionary is typically << this, so most jobs take the kernel path; the
 # distributed LSH pipeline is the unbounded fallback (and the kernel is
-# asserted bit-identical to it in tests).
-DRIVER_LINK_MAX_NORMS = 500_000
+# asserted bit-identical to it in tests).  Env-overridable so benchmarks can
+# force the distributed path (DRIVER_LINK_MAX_NORMS=0).
+DRIVER_LINK_MAX_NORMS = int(os.environ.get("DRIVER_LINK_MAX_NORMS", "500000"))
 
 
 def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:

@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 3
 MAX_ITERS = 50
+# Nodes whose degree exceeds this are "hot": their edge rows are salted in
+# the propagation join.  Everything colder is left to AQE skew splitting.
+HOT_KEY_MIN_DEGREE = 1_000_000
 # Below this many edges the similarity graph fits trivially on the driver:
 # collect + union-find beats 2-5 distributed label-propagation rounds (each
 # round = a shuffle + a barrier action; ~5-15 s of pure scheduling overhead
@@ -67,6 +70,7 @@ def connected_components(
     max_iters: int = MAX_ITERS,
     driver_max_edges: int | None = None,
     n_salts: int = 0,
+    hot_key_min_degree: int = HOT_KEY_MIN_DEGREE,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the component.
 
@@ -103,17 +107,38 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    # Hot-key split, computed ONCE (degrees are a property of sym, which is
+    # fixed across iterations): only edges whose join key is hot are salted;
+    # the label side replicated per salt is just the hot keys' labels (tiny),
+    # honoring salted_join's small-right contract.  Cold keys go through the
+    # plain join + AQE skew splitting.
+    sym_hot = sym_cold = hot_keys = None
+    if n_salts > 0:
+        hot_keys = (
+            sym.groupBy("b").count()
+            .filter(F.col("count") >= hot_key_min_degree)
+            .select("b")
+            .localCheckpoint(eager=True)
+        )
+        if hot_keys.limit(1).count() == 0:
+            n_salts = 0  # nothing hot — skip the split entirely
+        else:
+            sym_hot = sym.join(F.broadcast(hot_keys), "b", "left_semi").localCheckpoint(eager=True)
+            sym_cold = sym.join(F.broadcast(hot_keys), "b", "left_anti").localCheckpoint(eager=True)
+
+    converged = False
     for i in range(max_iters):
         # propagate: neighbor labels, min with own label — one shuffle round.
-        # n_salts > 0 scatters a hot node's edge rows across R replicated
-        # label rows (operators/skew.py) for the residual single-key skew AQE
-        # cannot split; the min-agg is partial either way, so hot keys only
-        # ever receive pre-combined partials.
+        # The min-agg is partial either way, so hot keys only ever receive
+        # pre-combined partials.
         lbl_b = labels.withColumnRenamed("node", "b")
         if n_salts > 0:
             from plume_spark.operators.skew import salted_join
 
-            joined = salted_join(sym, lbl_b, "b", n_salts=n_salts)
+            lbl_hot = lbl_b.join(F.broadcast(hot_keys), "b", "left_semi")
+            joined = sym_cold.join(lbl_b, "b").unionByName(
+                salted_join(sym_hot, lbl_hot, "b", n_salts=n_salts)
+            )
         else:
             joined = sym.join(lbl_b, "b")
         nbr = (
@@ -135,5 +160,13 @@ def connected_components(
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "label")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # partial labels are silently WRONG (two nodes of one component can
+        # still carry different labels) — fail loudly, never return them.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "raise max_iters (diameter of the similarity graph exceeds it)"
+        )
     return labels.withColumnRenamed("label", "component")

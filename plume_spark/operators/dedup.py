@@ -5,14 +5,21 @@ semantics (duplicate-node identity map IDriver.scala:91-98; duplicate-edge
 filtering CHANGELOG.md:632), generalized from graph elements to documents.
 
 Scale notes per operator:
-* exact:     one groupBy(text) shuffle; at 100 TB group by xxhash64(text)
-             first (fixed-width shuffle keys) and verify within groups.
+* exact:     window keyed by (xxhash64(text), text): fixed-width 8-byte
+             shuffle/sort keys decide ordering, the raw text only breaks
+             hash ties — identical output to grouping by text alone.
 * minhash:   signatures via small literal hash-parameter tables exploded
              JVM-side — NO Python in the loop; candidate generation is an
-             equi-join on band keys; verification exact.  Token ids come from
-             either a dictionary (portable, used by the DuckDB oracle) or
-             xxhash64 (scale path: no global sort, no dictionary shuffle).
-* simhash:   pure column arithmetic, fully codegen'd.
+             equi-join on band keys with an oversized-bucket cap (a
+             degenerate band bucket — boilerplate duplicated millions of
+             times — is non-discriminative and quadratic; capped buckets
+             are dropped and exact-duplicate docs rescued via identical
+             token-set star edges, mirroring operators/linking.py);
+             verification exact.  Token ids come from xxhash64 (default
+             scale path) or a portable polynomial rolling hash
+             (reproducible in ANSI SQL — the oracle path).  NEITHER builds
+             a dictionary or sorts globally.
+* simhash:   pure column arithmetic, fully codegen'd; same two id paths.
 * ngram:     shingle-blocked pair join — correct but quadratic within blocks;
              minhash IS its scale path, kept for parity/verification.
 """
@@ -35,6 +42,10 @@ BAND_ROWS = 2  # 8 bands x 2 rows: P(miss | J=0.5) = (1-0.25)^8 ≈ 0.10
 SIMHASH_BITS = 16
 SIMHASH_SCRAMBLE = 2654435761
 JACCARD_TAU = 0.5
+# Max docs per band bucket before the bucket is dropped as non-discriminative
+# (web-scale boilerplate skew kill; exact dups rescued by star edges).
+MAX_BUCKET_SIZE = 64
+POLY_MUL = 131  # portable rolling-hash multiplier (shared with text.fingerprint)
 
 
 def tokens(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -66,26 +77,44 @@ def shingles(df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_i
 
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: keeper = min id per identical text.
-    Returns (doc_id, keeper_id, group_size); group_size > 1 marks duplicates."""
-    w = Window.partitionBy(text)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.min(id_col).over(w).alias("keeper_id"),
-        F.count(F.lit(1)).over(w).alias("group_size"),
+    Returns (doc_id, keeper_id, group_size); group_size > 1 marks duplicates.
+
+    The window is keyed (xxhash64(text), text): partitioning/sorting compare
+    the 8-byte hash first and the raw text only on hash ties, which is the
+    100 TB-friendly form of a group-by-long-string — output is identical."""
+    w = Window.partitionBy("_th", text)
+    return (
+        df.withColumn("_th", F.xxhash64(F.col(text)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.min(id_col).over(w).alias("keeper_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
     )
-
-
-def token_dictionary(tok_df: DataFrame) -> DataFrame:
-    """(tok, tok_id): dense ids by lexicographic rank — portable across
-    engines (the DuckDB oracle recomputes the same ranks).  Global sort:
-    test/oracle path only; the scale path is hashed_token_ids."""
-    toks = tok_df.select("tok").distinct()
-    return toks.withColumn("tok_id", F.row_number().over(Window.orderBy("tok")))
 
 
 def hashed_token_ids(tok_df: DataFrame) -> DataFrame:
     """Scale-path token ids: xxhash64 — shuffle-free, no dictionary."""
     return tok_df.withColumn("tok_id", F.pmod(F.xxhash64("tok"), F.lit(MINHASH_P)))
+
+
+def portable_token_ids(tok_df: DataFrame) -> DataFrame:
+    """Oracle-path token ids: polynomial rolling hash over character codes,
+    ``fold(acc*131 + ascii(c)) mod P`` — reproducible in ANSI SQL (DuckDB
+    ``list_reduce``), and still fully distributed: a pure projection, no
+    dictionary, no global sort (the previous rank-dictionary needed a
+    single-partition Window).  xxhash64 stays the default (native, faster);
+    this path exists so the correctness oracle can recompute identical ids."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.ascii(F.col("tok").substr(i, F.lit(1))).cast("long"),
+    )
+    poly = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_MUL + c) % MINHASH_P,
+    )
+    return tok_df.withColumn("tok_id", poly)
 
 
 def minhash_signatures(tok_ids: DataFrame, k: int = MINHASH_K) -> DataFrame:
@@ -116,22 +145,59 @@ def minhash_signatures(tok_ids: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
-    """Band docs by consecutive minhash pairs; equi-join bands for candidates."""
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    tok_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Band docs by consecutive minhash pairs; equi-join bands for candidates.
+
+    Buckets holding more than ``max_bucket_size`` docs are DROPPED — an
+    oversized bucket (the normal case for boilerplate text in web-scale
+    dedup) is non-discriminative and makes the self-join quadratic; the cap
+    bounds candidate volume to cap * n_docs * n_bands / 2.  Exact duplicates
+    lost that way are rescued via ``tok_ids``: identical token-id sets are
+    J=1 duplicates by definition, and the set is an equivalence key, so star
+    edges (min member -> others) reconstruct their components at linear cost
+    (same mechanism as operators/linking.py candidate_pairs)."""
     bands = (
         sig.withColumn("band", (F.col("h") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("rows"))
         .select("doc_id", "band", F.col("rows.minhash").alias("band_sig"))
     )
+    if max_bucket_size:
+        bands = bands.localCheckpoint(eager=True)  # consumed by cap-count AND join
+        ok = (
+            bands.groupBy("band", "band_sig")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        bands = bands.join(ok, ["band", "band_sig"], "left_semi")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
-    return (
+    banded = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    if tok_ids is not None and max_bucket_size:
+        gsets = tok_ids.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("tok_id")).alias("gset")
+        )
+        star = (
+            gsets.groupBy("gset")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+            .filter(F.size("members") > 1)
+            .select(
+                F.element_at("members", 1).alias("doc_a"),
+                F.explode(F.slice("members", 2, F.size("members"))).alias("doc_b"),
+            )
+        )
+        banded = banded.unionByName(star)
+    return banded.distinct()
 
 
 def jaccard_verify(pairs: DataFrame, tok_df: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
@@ -162,20 +228,24 @@ def jaccard_verify(pairs: DataFrame, tok_df: DataFrame, tau: float = JACCARD_TAU
 
 def minhash_dedup(
     df: DataFrame, text: str = "text", id_col: str = "doc_id",
-    tau: float = JACCARD_TAU, portable_ids: bool = True, unit: str = "shingle3",
+    tau: float = JACCARD_TAU, portable_ids: bool = False, unit: str = "shingle3",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
 
     ``unit``: 'shingle3' (word 3-grams, default — discriminative) or 'token'.
-    Verification is exact over the unit sets, so output pairs are identical
-    across engines given identical candidates (the oracle mirrors the same
-    banding, so even LSH misses agree)."""
+    ``portable_ids`` selects the polynomial-hash token ids the SQL oracle can
+    recompute (contract queries only); default is native xxhash64.  Both are
+    distributed projections — no dictionary, no global sort.  Verification is
+    exact over the unit sets, so output pairs are identical across engines
+    given identical candidates (the oracle mirrors the same banding and the
+    same bucket cap, so even LSH misses agree)."""
     tok = shingles(df, 3, text, id_col) if unit == "shingle3" else tokens(df, text, id_col)
-    if portable_ids:
-        ids = tok.join(token_dictionary(tok), "tok").select("doc_id", "tok_id")
-    else:
-        ids = hashed_token_ids(tok).select("doc_id", "tok_id")
-    pairs = lsh_candidate_pairs(minhash_signatures(ids))
+    id_fn = portable_token_ids if portable_ids else hashed_token_ids
+    ids = id_fn(tok).select("doc_id", "tok_id")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(ids), max_bucket_size=max_bucket_size, tok_ids=ids
+    )
     return jaccard_verify(pairs, tok, tau)
 
 
@@ -202,11 +272,17 @@ def embedding_neardup(
     )
 
 
-def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash): 16-bit sign-sum fingerprint over dictionary token
-    ids — near-dups differ in few bits (Hamming)."""
+def simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    portable_ids: bool = False,
+) -> DataFrame:
+    """(doc_id, simhash): 16-bit sign-sum fingerprint over hashed token
+    ids — near-dups differ in few bits (Hamming).  Pure column arithmetic
+    end-to-end; ``portable_ids`` switches to the SQL-reproducible polynomial
+    hash (oracle path), xxhash64 otherwise — neither needs a dictionary."""
     tok = tokens(df, text, id_col)
-    ids = tok.join(token_dictionary(tok), "tok").select("doc_id", "tok_id")
+    id_fn = portable_token_ids if portable_ids else hashed_token_ids
+    ids = id_fn(tok).select("doc_id", "tok_id")
     scrambled = ids.withColumn(
         "s", (F.col("tok_id") * F.lit(SIMHASH_SCRAMBLE)) % F.lit(4294967296)
     )

@@ -34,15 +34,24 @@ def salted_join(
     """Equi-join ``left`` with ``right`` on ``key`` with R-way salt scatter.
 
     ``right`` must be the smaller side (it is replicated ``n_salts`` times —
-    build-side cost is R * |right|).  Row-level semantics are identical to
-    ``left.join(right, key, how)``: every left row joins the full right
-    key-group because that group exists under every salt value.
+    build-side cost is R * |right|).  For the supported ``how`` values
+    (inner / left / left_semi / left_anti) row-level semantics are identical
+    to ``left.join(right, key, how)``: every left row joins the full right
+    key-group because that group exists under every salt value, and an
+    unmatched left row is emitted exactly once (it carries one salt).
+    right / full / right_semi-style joins are NOT supported: replication
+    would emit every unmatched right row ``n_salts`` times.
 
     The left salt is a DETERMINISTIC hash of the whole left row (not rand()):
     task retries re-derive the same salt, and distinct rows of a hot key
     scatter uniformly.  Exact-duplicate left rows share a salt — dedupe
     before salting if duplicates of one hot key dominate.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     right_rep = right.withColumn(SALT_COL, F.explode(salts))
     left_salted = left.withColumn(

@@ -36,11 +36,17 @@ class PipelineResult:
     entities: DataFrame
     triples: DataFrame
     rejects: DataFrame
+    # lazy endpoint-kind constraint check (SchemaBuilder.checkEdgeConstraint
+    # recast, operators/constraints.py) — empty for a valid extraction; a
+    # declared plan, no cost unless inspected.
+    kind_violations: DataFrame | None = None
 
 
 def run_pipeline(
     transcripts: DataFrame, tau: float | None = None, persist_changelog: bool = True
 ) -> PipelineResult:
+    from plume_spark.operators.constraints import kind_violations
+
     _, rejects = split_valid_rejects(transcripts)
     changelog = extract_changelog(transcripts)
     if persist_changelog:
@@ -51,7 +57,9 @@ def run_pipeline(
     mentions, raw_triples = split_changelog(changelog)
     entities, norm_to_entity = build_entities(mentions, tau)
     triples = canonicalize_triples(raw_triples, norm_to_entity)
-    return PipelineResult(mentions, entities, triples, rejects)
+    return PipelineResult(
+        mentions, entities, triples, rejects, kind_violations(raw_triples)
+    )
 
 
 def _with_rec_id(changelog: DataFrame) -> DataFrame:
@@ -136,8 +144,13 @@ def build_graph(
         commit_lineage(store.lineage, "extract", done, rows_out=staging.row_count())
 
     # ---- stage 2: global materialize (atomic overwrite) ----
+    from plume_spark.operators.constraints import kind_violations
+
     changelog = staging.read()
     mentions, raw_triples = split_changelog(changelog)
+    # write-time schema check (checkEdgeConstraint recast): the closed
+    # extraction vocabulary guarantees zero, so any hit is a pipeline bug.
+    stats["kind_violations"] = kind_violations(raw_triples).count()
     entities, norm_to_entity = build_entities(mentions, tau)
     triples = canonicalize_triples(raw_triples, norm_to_entity).dropDuplicates()
     store.entities.overwrite(entities)

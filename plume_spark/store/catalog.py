@@ -4,7 +4,7 @@ The reference persists through six pluggable graph backends behind one driver
 interface (drivers/base/.../IDriver.scala:24-52).  Our single backend is an
 Iceberg-style table layout on plain parquet:
 
-    <root>/<table>/data/<commit-uuid>/part-*.parquet     immutable data files
+    <root>/<table>/data/<commit-uuid>/[_bucket=N/]part-*.parquet  immutable data
     <root>/<table>/_snapshots/v{N}.json                  manifest: file list + stats
     <root>/<table>/_current                              atomic pointer (os.replace)
 
@@ -17,13 +17,21 @@ Semantics mirrored from Iceberg (and why they matter at 100 TB):
   snapshot-diff incremental processing (the reference's changed-files-only
   rebuild, CHANGELOG.md:179);
 * per-commit row counts in the manifest = the ``bulkTx`` delta-size return
-  (drivers/overflowdb/.../OverflowDbDriver.scala:70).
+  (drivers/overflowdb/.../OverflowDbDriver.scala:70);
+* LAYOUT: a table may declare hash-bucketing on a key plus a within-file sort
+  order (``TableLayout``) — the Spark recast of the reference's secondary
+  indexes (drivers/neo4j/.../Neo4jDriver.scala:277-285 CREATE INDEX; the
+  OverflowDB heap index OverflowDbDriver.scala:49).  Each data file records
+  its bucket id and per-column min/max (read from the parquet footer via
+  pyarrow), and ``read(point=...)`` opens only the files that can contain the
+  probed key — file skipping, not full scans, is what a point lookup costs.
 
 On a real cluster this class is replaced 1:1 by Iceberg
-(``df.writeTo("cat.db.t").append()`` / ``MERGE INTO``); the GraphStore API
-above it is written against this minimal surface so the swap is confined here.
-Single-writer per table is assumed (Iceberg's optimistic-concurrency loop is
-out of scope for the sandbox).
+(``df.writeTo("cat.db.t").append()`` / ``MERGE INTO`` with
+``PARTITIONED BY (bucket(N, key))`` + ``WRITE ORDERED BY``); the GraphStore
+API above it is written against this minimal surface so the swap is confined
+here.  Single-writer per table is assumed (Iceberg's optimistic-concurrency
+loop is out of scope for the sandbox).
 """
 
 from __future__ import annotations
@@ -33,16 +41,71 @@ import os
 import shutil
 import time
 import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+@dataclass(frozen=True)
+class TableLayout:
+    """Physical layout contract for a SnapshotTable.
+
+    ``bucket_by``: hash-bucket key — rows land in ``pmod(xxhash64(key), n)``
+    directories, so a point read on the key opens 1/n of the files;
+    ``sort_by``: within-file sort order — tightens parquet min/max stats for
+    the listed columns (range pruning), and gives run-length-friendly pages;
+    ``stats_cols``: columns whose per-file min/max go into the manifest.
+    """
+
+    bucket_by: str | None = None
+    n_buckets: int = 16
+    sort_by: tuple[str, ...] = ()
+    stats_cols: tuple[str, ...] = ()
+
+
+def _file_stats(abs_path: str, stats_cols: tuple[str, ...]) -> tuple[int, dict]:
+    """(row_count, {col: [min, max]}) from the parquet footer — no data scan.
+    The same metadata Iceberg keeps in its manifests."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in stats_cols:
+        i = names.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        complete = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                complete = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if complete and lo is not None:
+            stats[col] = [lo, hi]
+    return md.num_rows, stats
+
+
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str, schema: T.StructType | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | None = None,
+        layout: TableLayout | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.layout = layout
         os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -61,7 +124,15 @@ class SnapshotTable:
         with open(os.path.join(self.path, "_snapshots", f"v{version}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], row_count: int, operation: str) -> int:
+    @staticmethod
+    def _entries(manifest: dict) -> list[dict]:
+        """Normalize manifest file entries (older manifests stored bare paths)."""
+        return [
+            e if isinstance(e, dict) else {"path": e, "bucket": None, "stats": {}, "rows": None}
+            for e in manifest["files"]
+        ]
+
+    def _commit(self, files: list[dict], row_count: int, operation: str) -> int:
         parent = self._current_version()
         version = parent + 1
         manifest = {
@@ -82,18 +153,45 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(self.path, "_current"))
         return version
 
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
-        """Materialize df as immutable parquet files under a fresh commit dir."""
+    def _write_files(self, df: DataFrame) -> tuple[list[dict], int]:
+        """Materialize df as immutable parquet files under a fresh commit dir,
+        honoring the table layout (bucketing + sort), and harvest per-file
+        footer stats into manifest entries."""
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = os.path.join(self.path, commit_dir)
-        df.write.mode("overwrite").parquet(out)
-        files = [
-            f"{commit_dir}/{f}"
-            for f in os.listdir(out)
-            if f.endswith(".parquet")
-        ]
-        n = self.spark.read.parquet(out).count() if files else 0
-        return files, n
+        lay = self.layout
+        if lay and lay.bucket_by and lay.bucket_by in df.columns:
+            bucketed = df.withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(lay.bucket_by), F.lit(lay.n_buckets)).cast("int"),
+            ).repartition(lay.n_buckets, "_bucket")
+            sort_cols = [c for c in (lay.sort_by or ()) if c in df.columns]
+            if sort_cols:
+                bucketed = bucketed.sortWithinPartitions(*sort_cols)
+            bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        else:
+            towrite = df
+            sort_cols = [c for c in ((lay.sort_by if lay else ()) or ()) if c in df.columns]
+            if sort_cols:
+                towrite = towrite.sortWithinPartitions(*sort_cols)
+            towrite.write.mode("overwrite").parquet(out)
+        entries: list[dict] = []
+        total = 0
+        stats_cols = tuple(lay.stats_cols) if lay else ()
+        for dirpath, _dirs, fnames in os.walk(out):
+            for fname in sorted(fnames):
+                if not fname.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(dirpath, fname)
+                rel = os.path.relpath(abs_path, self.path)
+                bucket = None
+                comp = os.path.basename(dirpath)
+                if comp.startswith("_bucket="):
+                    bucket = int(comp.split("=", 1)[1])
+                rows, stats = _file_stats(abs_path, stats_cols)
+                total += rows
+                entries.append({"path": rel, "bucket": bucket, "stats": stats, "rows": rows})
+        return entries, total
 
     # ------------------------------------------------------------ operations
 
@@ -101,7 +199,7 @@ class SnapshotTable:
         """Append-only commit: no existing file is touched."""
         files, n = self._write_files(df)
         prev = self._manifest(self._current_version())
-        return self._commit(prev["files"] + files, prev["row_count"] + n, "append")
+        return self._commit(list(prev["files"]) + files, prev["row_count"] + n, "append")
 
     def overwrite(self, df: DataFrame) -> int:
         files, n = self._write_files(df)
@@ -113,14 +211,60 @@ class SnapshotTable:
         so history survives (Iceberg TRUNCATE semantics)."""
         return self._commit([], 0, "truncate")
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def _bucket_of(self, value) -> int:
+        """Bucket id of a key value, computed with the SAME hash Spark used at
+        write time (xxhash64 on the declared column type) — one 1-row job."""
+        lay = self.layout
+        dtype = None
+        if self.schema is not None:
+            for f_ in self.schema.fields:
+                if f_.name == lay.bucket_by:
+                    dtype = f_.dataType
+        lit = F.lit(value) if dtype is None else F.lit(value).cast(dtype)
+        row = self.spark.range(1).select(
+            F.pmod(F.xxhash64(lit), F.lit(lay.n_buckets)).cast("int").alias("b")
+        ).first()
+        return int(row["b"])
+
+    def files_for(self, point: dict | None = None, snapshot_id: int | None = None) -> list[str]:
+        """Data files (relative paths) that can contain rows matching the
+        equality ``point`` predicates — bucket pruning on the layout key,
+        min/max pruning on stats columns.  The pruning contract is
+        conservative: a pruned-out file provably holds no matching row."""
         version = self._current_version() if snapshot_id is None else snapshot_id
-        m = self._manifest(version)
-        if not m["files"]:
+        entries = self._entries(self._manifest(version))
+        if not point:
+            return [e["path"] for e in entries]
+        lay = self.layout
+        want_bucket = None
+        if lay and lay.bucket_by and lay.bucket_by in point:
+            want_bucket = self._bucket_of(point[lay.bucket_by])
+        keep = []
+        for e in entries:
+            if want_bucket is not None and e.get("bucket") is not None and e["bucket"] != want_bucket:
+                continue
+            stats = e.get("stats") or {}
+            pruned = False
+            for col, val in point.items():
+                rng = stats.get(col)
+                if rng is not None and not (rng[0] <= val <= rng[1]):
+                    pruned = True
+                    break
+            if not pruned:
+                keep.append(e["path"])
+        return keep
+
+    def read(self, snapshot_id: int | None = None, point: dict | None = None) -> DataFrame:
+        """Snapshot read; ``point`` = {col: value} equality hints used ONLY to
+        skip files (the returned frame still applies no filter itself — pair
+        with ``.filter`` for exactness; pruning is conservative so the
+        filtered result is identical to a full scan)."""
+        files = self.files_for(point, snapshot_id)
+        if not files:
             if self.schema is None:
                 raise ValueError(f"empty table {self.path} with no declared schema")
             return self.spark.createDataFrame([], schema=self.schema)
-        paths = [os.path.join(self.path, f) for f in m["files"]]
+        paths = [os.path.join(self.path, f) for f in files]
         return self.spark.read.parquet(*paths)
 
     def merge_insert(self, df: DataFrame, keys: list[str]) -> int:
@@ -149,8 +293,6 @@ class SnapshotTable:
         only removes rows where the predicate evaluates to true, so a bare
         ``NOT (cond)`` would wrongly drop NULL-predicate rows too.
         """
-        from pyspark.sql import functions as F
-
         keep = ~F.coalesce(F.expr(condition), F.lit(False))
         return self.overwrite(self.read().filter(keep))
 
@@ -172,9 +314,9 @@ class SnapshotTable:
     def changed_since(self, snapshot_id: int) -> DataFrame:
         """Snapshot-diff read: rows in files added after ``snapshot_id`` —
         the incremental-rebuild primitive (CHANGELOG.md:179 changed-files-only)."""
-        old = set(self._manifest(snapshot_id)["files"])
-        cur = self._manifest(self._current_version())
-        new_files = [os.path.join(self.path, f) for f in cur["files"] if f not in old]
+        old = {e["path"] for e in self._entries(self._manifest(snapshot_id))}
+        cur = self._entries(self._manifest(self._current_version()))
+        new_files = [os.path.join(self.path, e["path"]) for e in cur if e["path"] not in old]
         if not new_files:
             return self.spark.createDataFrame([], schema=self.read().schema)
         return self.spark.read.parquet(*new_files)
@@ -191,8 +333,13 @@ class SnapshotStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def table(self, name: str, schema: T.StructType | None = None) -> SnapshotTable:
-        return SnapshotTable(self.spark, os.path.join(self.root, name), schema)
+    def table(
+        self,
+        name: str,
+        schema: T.StructType | None = None,
+        layout: TableLayout | None = None,
+    ) -> SnapshotTable:
+        return SnapshotTable(self.spark, os.path.join(self.root, name), schema, layout)
 
     def tables(self) -> list[str]:
         return sorted(

@@ -15,17 +15,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plume_spark.schemas import ENTITIES, LINEAGE, TRIPLES, with_defaults
-from plume_spark.store.catalog import SnapshotStore
+from plume_spark.store.catalog import SnapshotStore, TableLayout
 
 TRIPLE_KEY = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+# Physical layouts — the Spark recast of the reference's secondary indexes
+# (drivers/neo4j/.../Neo4jDriver.scala:277-285 CREATE INDEX on id/fullName;
+# drivers/overflowdb/.../OverflowDbDriver.scala:49 heap index):
+# * triples bucketed by conv_id (SURVEY §4: PARTITIONED BY bucket(N, conv_id))
+#   and sorted by (pred, subj) so a predicate/subject probe prunes by file
+#   min/max; at 10^12 turns n_buckets is sized ~ |table| / (executors * few GB).
+# * entities bucketed + sorted by entity_id: point-lookup file skipping.
+TRIPLES_LAYOUT = TableLayout(
+    bucket_by="conv_id", n_buckets=16, sort_by=("pred", "subj"),
+    stats_cols=("pred", "subj", "conv_id"),
+)
+ENTITIES_LAYOUT = TableLayout(
+    bucket_by="entity_id", n_buckets=16, sort_by=("entity_id",),
+    stats_cols=("entity_id",),
+)
 
 
 class GraphStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.catalog = SnapshotStore(spark, root)
-        self.entities = self.catalog.table("entities", ENTITIES)
-        self.triples = self.catalog.table("triples", TRIPLES)
+        self.entities = self.catalog.table("entities", ENTITIES, ENTITIES_LAYOUT)
+        self.triples = self.catalog.table("triples", TRIPLES, TRIPLES_LAYOUT)
         self.lineage = self.catalog.table("lineage", LINEAGE)
 
     # -------------------------------------------------------------- writes
@@ -48,15 +64,21 @@ class GraphStore:
     # -------------------------------------------------------------- reads
 
     def node_exists(self, entity_id: int) -> bool:
-        """P2 point predicate (OverflowDbDriver.scala:63)."""
+        """P2 point predicate (OverflowDbDriver.scala:63) — bucket-pruned:
+        only the entity_id's hash bucket's files are opened."""
         return (
-            self.entities.read().filter(F.col("entity_id") == entity_id).limit(1).count() > 0
+            self.entities.read(point={"entity_id": entity_id})
+            .filter(F.col("entity_id") == entity_id)
+            .limit(1)
+            .count()
+            > 0
         )
 
     def edge_exists(self, subj: int, obj: int, pred: str) -> bool:
         """P3 directed-edge predicate (OverflowDbDriver.scala:65-66).
-        Direction matters: (s,p,o) true does not imply (o,p,s)."""
-        t = self.triples.read()
+        Direction matters: (s,p,o) true does not imply (o,p,s).
+        min/max-pruned on (pred, subj) — the sort keys of the triple files."""
+        t = self.triples.read(point={"pred": pred, "subj": subj})
         return (
             t.filter((F.col("subj") == subj) & (F.col("obj") == obj) & (F.col("pred") == pred))
             .limit(1)
@@ -93,32 +115,87 @@ class GraphStore:
         self.entities.overwrite(nodes)
         self.triples.overwrite(edges)
 
+    _NODE_KEYS = ("canonical_name", "kind", "aliases")
+    _EDGE_KEYS = ("pred", "conv_id", "turn_idx", "src_mention", "obj_mention")
+
     def export_graphml(self, path: str, max_rows: int = 1_000_000) -> None:
         """Single-file GraphML parity artifact (hand-rolled, nodes then edges,
         XML-escaped — the shape of OverflowDbDriver.scala:103-157).  Driver-
         collected, so bounded by max_rows: this is a small parity/debug
-        exporter, not the scale path (export_json is)."""
+        exporter, not the scale path (export_json is).  LOSSLESS: every
+        entity/triple column rides as a <data> element (null columns omitted,
+        list property serialized as CSV — the serializeLists convention,
+        IDriver.scala:141-148), so import_graphml round-trips frame-equal."""
         nodes = self.entities.read().limit(max_rows).collect()
         edges = self.triples.read().limit(max_rows).collect()
+
+        def data(key: str, value) -> str:
+            if value is None:
+                return ""
+            if isinstance(value, list):
+                value = ",".join(value)
+            return f'<data key="{key}">{html.escape(str(value))}</data>'
+
         with open(path, "w", encoding="utf-8") as f:
             f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
             f.write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
-            f.write('<key id="name" for="node" attr.name="canonical_name" attr.type="string"/>\n')
-            f.write('<key id="kind" for="node" attr.name="kind" attr.type="string"/>\n')
-            f.write('<key id="pred" for="edge" attr.name="pred" attr.type="string"/>\n')
+            for k in self._NODE_KEYS:
+                f.write(f'<key id="{k}" for="node" attr.name="{k}" attr.type="string"/>\n')
+            for k in self._EDGE_KEYS:
+                f.write(f'<key id="{k}" for="edge" attr.name="{k}" attr.type="string"/>\n')
             f.write('<graph id="G" edgedefault="directed">\n')
             for r in nodes:
-                f.write(
-                    f'<node id="n{r["entity_id"]}">'
-                    f'<data key="name">{html.escape(str(r["canonical_name"]))}</data>'
-                    f'<data key="kind">{html.escape(str(r["kind"]))}</data></node>\n'
-                )
+                body = "".join(data(k, r[k]) for k in self._NODE_KEYS)
+                f.write(f'<node id="n{r["entity_id"]}">{body}</node>\n')
             for i, r in enumerate(edges):
+                body = "".join(data(k, r[k]) for k in self._EDGE_KEYS)
                 f.write(
-                    f'<edge id="e{i}" source="n{r["subj"]}" target="n{r["obj"]}">'
-                    f'<data key="pred">{html.escape(str(r["pred"]))}</data></edge>\n'
+                    f'<edge id="e{i}" source="n{r["subj"]}" target="n{r["obj"]}">{body}</edge>\n'
                 )
             f.write("</graph>\n</graphml>\n")
+
+    def import_graphml(self, path: str) -> None:
+        """S3 GraphML bulk import — completes the export->clear->import round
+        trip for the third format (TinkerGraphDriver.scala:31-61 loads
+        GraphML/GraphSON/Gryo alike).  Inverse of export_graphml: <data>
+        elements back to typed columns, absent key = NULL, CSV list back to
+        array ('' = empty array)."""
+        import xml.etree.ElementTree as ET
+
+        ns = "{http://graphml.graphdrawing.org/xmlns}"
+        graph = ET.parse(path).getroot().find(f"{ns}graph")
+
+        def datamap(el) -> dict[str, str]:
+            return {d.attrib["key"]: (d.text or "") for d in el.findall(f"{ns}data")}
+
+        node_rows, edge_rows = [], []
+        for el in graph.findall(f"{ns}node"):
+            d = datamap(el)
+            aliases = d.get("aliases")
+            node_rows.append(
+                (
+                    int(el.attrib["id"][1:]),
+                    d.get("canonical_name"),
+                    d.get("kind"),
+                    None if aliases is None else ([] if aliases == "" else aliases.split(",")),
+                )
+            )
+        for el in graph.findall(f"{ns}edge"):
+            d = datamap(el)
+            turn = d.get("turn_idx")
+            edge_rows.append(
+                (
+                    int(el.attrib["source"][1:]),
+                    d.get("pred"),
+                    int(el.attrib["target"][1:]),
+                    d.get("conv_id"),
+                    None if turn is None else int(turn),
+                    d.get("src_mention"),
+                    d.get("obj_mention"),
+                )
+            )
+        self.entities.overwrite(self.spark.createDataFrame(node_rows, schema=ENTITIES))
+        self.triples.overwrite(self.spark.createDataFrame(edge_rows, schema=TRIPLES))
 
     # -------------------------------------------------------------- checks
 
@@ -131,3 +208,21 @@ class GraphStore:
         bad_subj = t.join(e.withColumnRenamed("entity_id", "subj"), "subj", "left_anti")
         bad_obj = t.join(e.withColumnRenamed("entity_id", "obj"), "obj", "left_anti")
         return bad_subj.unionByName(bad_obj)
+
+    def kind_violations(self) -> DataFrame:
+        """Endpoint-KIND constraint check (the full checkEdgeConstraint,
+        SchemaBuilder.scala:54-129, beyond the FK existence of
+        dangling_edges): triples whose (pred, subj kind, obj kind) matches no
+        rule in schemas.EDGE_CONSTRAINTS.  Must be empty for a valid graph."""
+        from plume_spark.operators.constraints import kind_violations
+
+        e = self.entities.read().select("entity_id", "kind")
+        t = self.triples.read()
+        typed = t.join(
+            e.withColumnRenamed("entity_id", "subj").withColumnRenamed("kind", "subj_kind"),
+            "subj",
+        ).join(
+            e.withColumnRenamed("entity_id", "obj").withColumnRenamed("kind", "obj_kind"),
+            "obj",
+        )
+        return kind_violations(typed)

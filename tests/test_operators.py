@@ -291,9 +291,49 @@ def test_salted_join_and_salted_cc(spark):
     }
     salted_cc = {
         tuple(r)
-        for r in connected_components(edges, driver_max_edges=0, n_salts=4).collect()
+        for r in connected_components(
+            edges, driver_max_edges=0, n_salts=4, hot_key_min_degree=10
+        ).collect()
     }
     assert base == salted_cc
+
+    # n_salts with nothing over the degree threshold degrades to plain join
+    lazy_cc = {
+        tuple(r)
+        for r in connected_components(edges, driver_max_edges=0, n_salts=4).collect()
+    }
+    assert base == lazy_cc
+
+    # outer-on-right joins would duplicate unmatched right rows -> refused
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(left, right, "k", n_salts=4, how="full")
+
+
+def test_cc_nonconvergence_raises(spark):
+    """A chain longer than max_iters hops cannot converge — the loop must
+    fail loudly instead of returning silently-partial labels."""
+    import pytest
+
+    from plume_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(30)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, driver_max_edges=0, max_iters=3)
+    ok = connected_components(chain, driver_max_edges=0, max_iters=40)
+    assert ok.select("component").distinct().count() == 1
+
+
+def test_xxh64_ngrams_rejects_non_ascii():
+    import pytest
+
+    from plume_spark.functions.xxh64 import xxh64_ngrams
+
+    with pytest.raises(NotImplementedError, match="ASCII-only"):
+        xxh64_ngrams(["café norm"], 3)
 
 
 def test_no_rowwise_python_in_plans(spark, docs):

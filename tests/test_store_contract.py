@@ -109,6 +109,40 @@ def test_export_import_round_trip(spark, store, tmp_path):
     assert len(graph.findall(f"{ns}edge")) == 2
 
 
+def test_graphml_import_round_trip(spark, store, tmp_path):
+    """export -> clear -> import must be frame-equal for all three columns
+    incl. nulls and list properties (TinkerGraphDriver.scala:31-61 round
+    trip; GraphML was previously write-only)."""
+    ents, trips = _fixture_frames(spark)
+    store.bulk_write(ents, trips)
+    before_e = {tuple(map(str, r)) for r in store.entities.read().collect()}
+    before_t = {tuple(map(str, r)) for r in store.triples.read().collect()}
+    gml = str(tmp_path / "rt.graphml")
+    store.export_graphml(gml)
+    store.clear()
+    assert store.entities.read().count() == 0
+    store.import_graphml(gml)
+    after_e = {tuple(map(str, r)) for r in store.entities.read().collect()}
+    after_t = {tuple(map(str, r)) for r in store.triples.read().collect()}
+    assert before_e == after_e
+    assert before_t == after_t
+
+
+def test_kind_constraint_violations(spark, store):
+    """checkEdgeConstraint recast: the clean fixture has zero violations; a
+    person--works_at-->tool edge is caught (FK-valid, kind-invalid — beyond
+    dangling_edges)."""
+    ents, trips = _fixture_frames(spark)
+    store.bulk_write(ents, trips)
+    assert store.kind_violations().count() == 0
+    store.triples.append(
+        spark.createDataFrame([(1, "works_at", 3, "c2", 0, "A", "H")], schema=TRIPLES)
+    )
+    assert store.dangling_edges().count() == 0  # FK check cannot see it
+    bad = store.kind_violations().collect()
+    assert len(bad) == 1 and bad[0]["obj"] == 3
+
+
 def test_dangling_edge_check(spark, store):
     ents, trips = _fixture_frames(spark)
     store.bulk_write(ents, trips)
@@ -130,6 +164,42 @@ def test_append_only_and_snapshot_diff(spark, store):
     diff = t.changed_since(v1)
     assert [r["entity_id"] for r in diff.collect()] == [10]
     assert t.read(snapshot_id=v1).count() == 4 and v2 == v1 + 1
+
+
+def test_bucket_and_minmax_pruning(spark, store):
+    """Layout contract (SURVEY §4 bucket(N, conv_id) + sort (pred, subj)):
+    a point read must open strictly fewer files than the full scan, and the
+    pruned read filtered must equal the full read filtered (conservative
+    pruning)."""
+    n = 600
+    ents = spark.range(n).selectExpr(
+        "id AS entity_id", "concat('e', id) AS canonical_name",
+        "'person' AS kind", "array(concat('e', id)) AS aliases",
+    )
+    trips = spark.range(n).selectExpr(
+        "id AS subj",
+        "CASE WHEN id % 3 = 0 THEN 'works_at' WHEN id % 3 = 1 THEN 'uses' ELSE 'met' END AS pred",
+        "id + 1 AS obj",
+        "concat('c', id % 40) AS conv_id",
+        "CAST(id % 7 AS INT) AS turn_idx",
+        "'s' AS src_mention", "'o' AS obj_mention",
+    )
+    store.bulk_write(ents, trips)
+
+    all_ent_files = store.entities.files_for()
+    pruned_ent = store.entities.files_for(point={"entity_id": 17})
+    assert len(all_ent_files) > 1
+    assert len(pruned_ent) < len(all_ent_files)
+    assert store.node_exists(17) and not store.node_exists(n + 5)
+
+    all_tri_files = store.triples.files_for()
+    pruned_tri = store.triples.files_for(point={"conv_id": "c3"})
+    assert len(pruned_tri) < len(all_tri_files)
+    full = store.triples.read().filter("conv_id = 'c3'").count()
+    pruned = store.triples.read(point={"conv_id": "c3"}).filter("conv_id = 'c3'").count()
+    assert full == pruned == 15
+    assert store.edge_exists(3, 4, "works_at")
+    assert not store.edge_exists(3, 4, "uses")
 
 
 def test_merge_upsert_and_delete_where(spark, store):
