@@ -10,6 +10,9 @@ local[32]) in FRESH subprocesses (fresh JVM per level, like JMH forks) and
 report throughput + scaling efficiency — the sandbox proxy for the N vs 4N
 executor-cluster criterion (see BENCH.md).
 
+--write: full persist-path benchmark (build_graph into a cold snapshot store,
+cleared per iteration) — the GraphWriteBenchmark analog.
+
 --explain: print formatted physical plans of headline queries for inspection.
 """
 
@@ -170,7 +173,55 @@ def run_scaling(sf_dir: str, levels=(8, 32), repeats: int = 2) -> dict:
     }
 
 
+def run_write_bench(sf_dir: str, cpus: int, iters: int = 3) -> dict:
+    """GraphWriteBenchmark analog (src/.../benchmarking/GraphWriteBenchmark.
+    scala:32-44): the FULL persist path — transcripts -> build_graph -> snapshot
+    store (staging MERGE + lineage + atomic overwrite of entities/triples),
+    with the store cleared before every iteration (cold-store writes, the
+    reference's @Setup(Level.Iteration) driver.clear()).  Reports the min
+    (deterministic work under one-sided box noise) and all samples."""
+    import shutil
+    import tempfile
+
+    from plume_spark import graft
+    from plume_spark.pipeline import build_graph
+    from plume_spark.session import get_spark
+    from plume_spark.store import GraphStore
+
+    spark = get_spark(
+        app_name="plume-write-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    t = graft.kg_transcripts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="plume-write-bench-")
+    samples, triples = [], 0
+    try:
+        for _ in range(iters):
+            shutil.rmtree(root, ignore_errors=True)
+            store = GraphStore(spark, root)
+            t0 = time.time()
+            stats = build_graph(t, store, tau=0.95)
+            samples.append(round(time.time() - t0, 3))
+            triples = stats["triples"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    best = min(samples)
+    return {
+        "metric": "kg_write_build_sec",
+        "value": best,
+        "unit": "sec",
+        "samples_sec": samples,
+        "iters": iters,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "triples": triples,
+        "triples_per_sec": round(triples / best, 1) if best else 0.0,
+    }
+
+
 def main():
+    if "--write" in sys.argv:
+        print(json.dumps(run_write_bench(SF_DIR, CPUS)))
+        return
     if "--scaling" in sys.argv:
         # levels: N and 4N cores.  Default (8, 32) exercises the full box;
         # SPARK_GRAFT_LEVELS=2,8 keeps both levels under the sandbox's

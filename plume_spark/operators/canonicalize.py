@@ -78,12 +78,19 @@ def build_entities(mentions: DataFrame, tau: float | None = None) -> tuple[DataF
     norm_to_entity:  norm, entity_id   (the linking dictionary for triples)
     """
     comp = norm_components(mentions, tau).cache()  # reused by entities + dict
-    # per-norm kind candidates (smallest non-'entity' kind per norm)
+    # per-norm kind candidates (smallest non-'entity' kind per norm).
+    # localCheckpoint: this is the LAST reduction over the big mention stream;
+    # everything downstream (entities, norm->entity dictionary) is
+    # dictionary-sized.  Without the eager cut, every broadcast exchange of a
+    # derived table launches its own job that re-scans the full cached
+    # change log — measured ~8-10 redundant big-cache scans (~90 s at
+    # local[16], k=48) for tables of a few thousand rows.
     norm_kind = (
         mentions.groupBy("norm")
         .agg(
             F.min(F.when(F.col("kind") != "entity", F.col("kind"))).alias("kind_hint")
         )
+        .localCheckpoint(eager=True)
     )
     member = comp.join(norm_kind, "norm", "left")
     ent = (

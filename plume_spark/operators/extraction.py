@@ -107,15 +107,6 @@ def mention_kinds(text: str, relations: list[dict] | None = None) -> dict[int, s
     return kinds
 
 
-def _mention_id(conv_id: str, turn_idx: int, span_start: int) -> int:
-    """Stable 64-bit FNV-1a over the mention's natural key (resume-idempotent;
-    the analog of IDriver.scala:91-98 identity, but pure-functional)."""
-    h = 0xCBF29CE484222325
-    for b in f"{conv_id}|{turn_idx}|{span_start}".encode():
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
-
-
 # change-log schema: one frame per pass, split per kind downstream (U2)
 CHANGELOG_SCHEMA = T.StructType(
     [
@@ -139,7 +130,16 @@ CHANGELOG_SCHEMA = T.StructType(
     ]
 )
 
-_EMPTY = {f.name: pd.Series(dtype="object") for f in CHANGELOG_SCHEMA.fields}
+# UDF-side schema: mention_id is attached JVM-side afterwards (vectorized
+# xxhash64 over the natural key) — a per-mention hash loop in Python was
+# measured as a material slice of extraction CPU.
+_UDF_SCHEMA = T.StructType([f for f in CHANGELOG_SCHEMA.fields if f.name != "mention_id"])
+
+_MENTION_COLS = ("surface", "norm", "kind", "span_start", "span_end", "arg_index")
+_TRIPLE_COLS = (
+    "pred", "subj_norm", "subj_kind", "obj_norm", "obj_kind",
+    "src_mention", "obj_mention",
+)
 
 
 def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -148,9 +148,25 @@ def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
     conversation is contiguous in stable turn order (W1) — cross-turn context
     is available when a grammar needs it.  Per-part exception tolerance
     (AstCreationPass.scala:46-50): a turn that raises is skipped, the pass
-    continues."""
+    continues.
+
+    COLUMNAR accumulation: values append to per-column lists, never to
+    per-row dicts — at millions of records the dict-per-row form allocates
+    ~20x more Python objects, and that allocation pressure was measured to
+    destroy multi-worker scaling (workers' CPU time inflates under shared
+    memory-bandwidth contention).  ``norm_py`` is memoized per part: surface
+    forms repeat heavily in real transcripts."""
     pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    rows: list[dict] = []
+    mcols: dict[str, list] = {c: [] for c in ("conv_id", "turn_idx", *_MENTION_COLS)}
+    tcols: dict[str, list] = {c: [] for c in ("conv_id", "turn_idx", *_TRIPLE_COLS)}
+    norm_cache: dict[str, str] = {}
+
+    def _norm(s: str) -> str:
+        v = norm_cache.get(s)
+        if v is None:
+            v = norm_cache[s] = norm_py(s)
+        return v
+
     for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
         try:
             if not isinstance(text, str) or not text:
@@ -160,45 +176,52 @@ def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
             ms = find_mentions(text)
             rels = find_relations(text, ms)
             kinds = mention_kinds(text, rels)
+            ti = int(turn_idx)
             for ai, m in enumerate(ms):
-                rows.append(
-                    {
-                        "rec_kind": "mention",
-                        "conv_id": conv_id,
-                        "turn_idx": int(turn_idx),
-                        "mention_id": _mention_id(conv_id, int(turn_idx), m.start),
-                        "surface": m.surface,
-                        "norm": norm_py(m.surface),
-                        "kind": kinds.get(m.start, "entity"),
-                        "span_start": m.start,
-                        "span_end": m.end,
-                        "arg_index": ai,  # W2 ARGUMENT_INDEX analog
-                    }
-                )
+                mcols["conv_id"].append(conv_id)
+                mcols["turn_idx"].append(ti)
+                mcols["surface"].append(m.surface)
+                mcols["norm"].append(_norm(m.surface))
+                mcols["kind"].append(kinds.get(m.start, "entity"))
+                mcols["span_start"].append(m.start)
+                mcols["span_end"].append(m.end)
+                mcols["arg_index"].append(ai)  # W2 ARGUMENT_INDEX analog
             for r in rels:
-                rows.append(
-                    {
-                        "rec_kind": "triple",
-                        "conv_id": conv_id,
-                        "turn_idx": int(turn_idx),
-                        "pred": r["pred"],
-                        "subj_norm": norm_py(r["subj"].surface),
-                        "subj_kind": r["subj_kind"],
-                        "obj_norm": norm_py(r["obj"].surface),
-                        "obj_kind": r["obj_kind"],
-                        "src_mention": r["subj"].surface,
-                        "obj_mention": r["obj"].surface,
-                    }
-                )
+                tcols["conv_id"].append(conv_id)
+                tcols["turn_idx"].append(ti)
+                tcols["pred"].append(r["pred"])
+                tcols["subj_norm"].append(_norm(r["subj"].surface))
+                tcols["subj_kind"].append(r["subj_kind"])
+                tcols["obj_norm"].append(_norm(r["obj"].surface))
+                tcols["obj_kind"].append(r["obj_kind"])
+                tcols["src_mention"].append(r["subj"].surface)
+                tcols["obj_mention"].append(r["obj"].surface)
         except Exception:
             continue  # tolerate a bad turn, keep the part going
-    if not rows:
-        return pd.DataFrame(_EMPTY)
-    out = pd.DataFrame(rows)
-    for f in CHANGELOG_SCHEMA.fields:
-        if f.name not in out.columns:
-            out[f.name] = None
-    return out[[f.name for f in CHANGELOG_SCHEMA.fields]]
+
+    n_m, n_t = len(mcols["conv_id"]), len(tcols["conv_id"])
+    names = [f.name for f in _UDF_SCHEMA.fields]
+    mdf = pd.DataFrame(
+        {
+            name: (
+                ["mention"] * n_m if name == "rec_kind"
+                else mcols[name] if name in mcols
+                else [None] * n_m
+            )
+            for name in names
+        }
+    )
+    tdf = pd.DataFrame(
+        {
+            name: (
+                ["triple"] * n_t if name == "rec_kind"
+                else tcols[name] if name in tcols
+                else [None] * n_t
+            )
+            for name in names
+        }
+    )
+    return pd.concat([mdf, tdf], ignore_index=True)
 
 
 def split_valid_rejects(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -232,11 +255,21 @@ def extract_changelog(transcripts: DataFrame, n_parts: int | None = None) -> Dat
     shuffle-free."""
     valid, _ = split_valid_rejects(transcripts)
     p = n_parts or 256
-    return (
+    extracted = (
         valid.select("conv_id", "turn_idx", "text")
         .withColumn("_part", F.pmod(F.xxhash64("conv_id"), F.lit(p)).cast("int"))
         .groupBy("_part")
-        .applyInPandas(lambda pdf: _extract_part(pdf), schema=CHANGELOG_SCHEMA)
+        .applyInPandas(lambda pdf: _extract_part(pdf), schema=_UDF_SCHEMA)
+    )
+    # stable mention identity, JVM-side and vectorized (the IDriver.scala:91-98
+    # identity contract): deterministic over the natural key, so resume runs
+    # regenerate identical ids.
+    mention_id = F.when(
+        F.col("rec_kind") == "mention",
+        F.xxhash64("conv_id", "turn_idx", "span_start"),
+    )
+    return extracted.withColumn("mention_id", mention_id).select(
+        *[f.name for f in CHANGELOG_SCHEMA.fields]
     )
 
 

@@ -49,14 +49,28 @@ def run_pipeline(
 
     _, rejects = split_valid_rejects(transcripts)
     changelog = extract_changelog(transcripts)
+    # One extraction pass feeds both mention and triple branches — persist so
+    # the pandas UDF runs once (the reference runs runOnPart once and splits
+    # the DiffGraph afterwards, Neo4jDriver.scala:198-212).  Only the columns
+    # the pipeline's own jobs consume are cached (the columnar cache build is
+    # memory-bandwidth-bound; surface/span/mention_id columns are ~1/3 of the
+    # volume and nothing downstream of the cache reads them); the full
+    # per-mention frame stays available as a lazy recompute.
+    slim = changelog.select(
+        "rec_kind", "conv_id", "turn_idx", "norm", "kind", "pred",
+        "subj_norm", "subj_kind", "obj_norm", "obj_kind",
+        "src_mention", "obj_mention",
+    )
     if persist_changelog:
-        # one extraction pass feeds both mention and triple branches — persist
-        # so the pandas UDF runs once (the reference runs runOnPart once and
-        # splits the DiffGraph afterwards, Neo4jDriver.scala:198-212)
-        changelog = changelog.persist()
-    mentions, raw_triples = split_changelog(changelog)
-    entities, norm_to_entity = build_entities(mentions, tau)
+        slim = slim.persist()
+    mentions_slim = slim.filter(F.col("rec_kind") == "mention").select("norm", "kind")
+    raw_triples = slim.filter(F.col("rec_kind") == "triple").select(
+        "conv_id", "turn_idx", "subj_norm", "subj_kind", "pred",
+        "obj_norm", "obj_kind", "src_mention", "obj_mention",
+    )
+    entities, norm_to_entity = build_entities(mentions_slim, tau)
     triples = canonicalize_triples(raw_triples, norm_to_entity)
+    mentions, _ = split_changelog(changelog)  # full frame: lazy, uncached
     return PipelineResult(
         mentions, entities, triples, rejects, kind_violations(raw_triples)
     )
