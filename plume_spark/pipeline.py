@@ -133,13 +133,8 @@ def build_graph(
         pending_units,
         with_bucket,
     )
-    from plume_spark.operators.extraction import CHANGELOG_SCHEMA
-    from pyspark.sql import types as T
 
-    staging_schema = T.StructType(
-        CHANGELOG_SCHEMA.fields + [T.StructField("rec_id", T.LongType())]
-    )
-    staging = store.catalog.table("changelog", staging_schema)
+    staging = staging_table(store)
 
     tb = with_bucket(transcripts, n_buckets)
     units = bucket_hashes(tb)
@@ -158,20 +153,45 @@ def build_graph(
         commit_lineage(store.lineage, "extract", done, rows_out=staging.row_count())
 
     # ---- stage 2: global materialize (atomic overwrite) ----
+    stats.update(materialize_graph(store, tau))
+    return stats
+
+
+def staging_table(store):
+    """The change-log staging table (extraction output, rec_id-keyed MERGE
+    target).  One definition shared by the batch (build_graph) and streaming
+    (streaming.ingest) write paths."""
+    from plume_spark.operators.extraction import CHANGELOG_SCHEMA
+    from pyspark.sql import types as T
+
+    staging_schema = T.StructType(
+        CHANGELOG_SCHEMA.fields + [T.StructField("rec_id", T.LongType())]
+    )
+    return store.catalog.table("changelog", staging_schema)
+
+
+def materialize_graph(store, tau: float | None = None) -> dict:
+    """Stage 2 of the persist path: staging change log -> entities + triples,
+    committed as an atomic OVERWRITE (deterministic global function of the
+    full change log; see build_graph docstring for why it is global).  Shared
+    verbatim by batch and streaming ingest — both produce the same staging
+    rows, so both converge to identical graph tables."""
+    from plume_spark.lineage import commit_lineage
     from plume_spark.operators.constraints import kind_violations
 
+    staging = staging_table(store)
     changelog = staging.read()
     mentions, raw_triples = split_changelog(changelog)
     # write-time schema check (checkEdgeConstraint recast): the closed
     # extraction vocabulary guarantees zero, so any hit is a pipeline bug.
-    stats["kind_violations"] = kind_violations(raw_triples).count()
+    stats = {"kind_violations": kind_violations(raw_triples).count()}
     entities, norm_to_entity = build_entities(mentions, tau)
     triples = canonicalize_triples(raw_triples, norm_to_entity).dropDuplicates()
     store.entities.overwrite(entities)
     store.triples.overwrite(triples)
     stats["entities"] = store.entities.row_count()
     stats["triples"] = store.triples.row_count()
-    mat_unit = transcripts.sparkSession.createDataFrame(
+    mat_unit = store.spark.createDataFrame(
         [(-1, "global", int(stats["entities"]))],
         "partition_id int, input_hash string, rows_in long",
     )

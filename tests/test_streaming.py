@@ -1,0 +1,104 @@
+"""Structured Streaming ingest: file-source stream -> staging MERGE ->
+materialize.  Contract: a store fed by the stream is bit-identical to one
+built by the batch path over the same rows (SURVEY §2.9's continuous-arrival
+complement), and checkpoint + rec_id-MERGE make re-drains no-ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plume_spark.generator import generate_transcripts
+from plume_spark.pipeline import build_graph
+from plume_spark.store import GraphStore
+from plume_spark.streaming import (
+    read_transcript_stream,
+    stream_build,
+    stream_turn_counts,
+)
+
+
+def _table_set(store, name):
+    t = {"entities": store.entities, "triples": store.triples}[name]
+    return sorted(map(tuple, t.read().collect()))
+
+
+def _land(df, path):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_matches_batch_and_redrain_is_noop(spark, tmp_path):
+    t = generate_transcripts(spark, 24, seed=7)
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+
+    # two file landings = at least two epochs' worth of input
+    first = t.filter("conv_id < 'conv-00000012'")
+    rest = t.filter("conv_id >= 'conv-00000012'")
+    _land(first, inbox)
+    _land(rest, inbox)
+
+    s = GraphStore(spark, str(tmp_path / "stream-store"))
+    stream = read_transcript_stream(spark, inbox, max_files_per_trigger=1)
+    stats = stream_build(stream, s, ckpt, tau=0.95)
+    assert stats["epochs"] >= 2  # maxFilesPerTrigger=1 forces per-file epochs
+    assert stats["rows_in"] == t.count()
+
+    b = GraphStore(spark, str(tmp_path / "batch-store"))
+    build_graph(t, b, tau=0.95)
+    assert _table_set(s, "entities") == _table_set(b, "entities")
+    assert _table_set(s, "triples") == _table_set(b, "triples")
+
+    # re-drain with the same checkpoint: no new files -> zero epochs, store
+    # untouched (exactly-once effect)
+    again = stream_build(
+        read_transcript_stream(spark, inbox, max_files_per_trigger=1), s, ckpt
+    )
+    assert again["epochs"] == 0
+    assert _table_set(s, "triples") == _table_set(b, "triples")
+
+
+def test_stream_incremental_arrival_converges(spark, tmp_path):
+    t = generate_transcripts(spark, 16, seed=11)
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    s = GraphStore(spark, str(tmp_path / "store"))
+
+    _land(t.filter("conv_id < 'conv-00000008'"), inbox)
+    stream_build(read_transcript_stream(spark, inbox), s, ckpt, tau=0.95)
+
+    # later landing: only the new files are processed, store converges to the
+    # full-input batch build
+    _land(t.filter("conv_id >= 'conv-00000008'"), inbox)
+    stats = stream_build(read_transcript_stream(spark, inbox), s, ckpt, tau=0.95)
+    assert 0 < stats["rows_in"] < t.count()
+
+    fresh = GraphStore(spark, str(tmp_path / "fresh"))
+    build_graph(t, fresh, tau=0.95)
+    assert _table_set(s, "triples") == _table_set(fresh, "triples")
+
+
+def test_stream_turn_counts_watermarked(spark, tmp_path):
+    t = generate_transcripts(spark, 10, seed=3)
+    inbox = str(tmp_path / "inbox")
+    _land(t, inbox)
+
+    agg = stream_turn_counts(read_transcript_stream(spark, inbox))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("turn_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["conv_id"]: (r["n_turns"], r["max_turn_idx"])
+        for r in spark.sql("select * from turn_counts").collect()
+    }
+    want = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in t.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    assert got == want
