@@ -89,6 +89,27 @@ def _export(args) -> int:
     return 0
 
 
+def _stream(args) -> int:
+    """Continuous-arrival ingest (streaming/ingest.py): drain all files
+    currently in --input into the store, exactly-once per file across
+    invocations (checkpoint lives under the store root)."""
+    import os
+
+    from plume_spark.session import get_spark
+    from plume_spark.store.graph import GraphStore
+    from plume_spark.streaming import read_transcript_stream, stream_build
+
+    spark = get_spark(app_name="plume-stream", master=args.master)
+    store = GraphStore(spark, args.store)
+    stream = read_transcript_stream(
+        spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+    )
+    ckpt = args.checkpoint or os.path.join(args.store, "_stream_checkpoint")
+    stats = stream_build(stream, store, ckpt, tau=args.tau)
+    print(json.dumps(stats))
+    return 0
+
+
 def _clear(args) -> int:
     from plume_spark.session import get_spark
     from plume_spark.store.graph import GraphStore
@@ -125,6 +146,14 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--format", choices=["json", "graphml"], default="json")
     e.set_defaults(fn=_export)
+
+    s = sub.add_parser("stream", help="streaming ingest: drain new transcript files into the store")
+    s.add_argument("--input", required=True, help="directory watched for transcript parquet files")
+    s.add_argument("--store", required=True)
+    s.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: <store>/_stream_checkpoint)")
+    s.add_argument("--tau", type=float, default=None)
+    s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.set_defaults(fn=_stream)
 
     c = sub.add_parser("clear", help="destructive clear (S8)")
     c.add_argument("--store", required=True)

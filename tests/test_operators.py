@@ -113,6 +113,13 @@ def test_cli_build_query_export(spark, tmp_path):
     content = open(out).read()
     assert content.startswith("<?xml") and "<node id=" in content and "<edge id=" in content
     assert main(["clear", "--store", store]) == 0
+    # stream subcommand: drain a landed file into a fresh store
+    from plume_spark.generator import generate_transcripts
+
+    inbox = str(tmp_path / "inbox")
+    generate_transcripts(spark, 6, seed=3).coalesce(1).write.parquet(inbox)
+    store2 = str(tmp_path / "store2")
+    assert main(["stream", "--input", inbox, "--store", store2]) == 0
 
 
 def test_ivf_topk_matches_brute_on_probed_cells(spark):
