@@ -77,14 +77,16 @@ def build_entities(mentions: DataFrame, tau: float | None = None) -> tuple[DataF
     entities:        entity_id, canonical_name, kind, aliases
     norm_to_entity:  norm, entity_id   (the linking dictionary for triples)
     """
-    comp = norm_components(mentions, tau).cache()  # reused by entities + dict
-    # per-norm kind candidates (smallest non-'entity' kind per norm).
-    # localCheckpoint: this is the LAST reduction over the big mention stream;
-    # everything downstream (entities, norm->entity dictionary) is
-    # dictionary-sized.  Without the eager cut, every broadcast exchange of a
-    # derived table launches its own job that re-scans the full cached
-    # change log — measured ~8-10 redundant big-cache scans (~90 s at
-    # local[16], k=48) for tables of a few thousand rows.
+    # per-norm kind candidates (smallest non-'entity' kind per norm) — the
+    # ONE AND ONLY reduction over the big mention stream: norm_components
+    # below runs on this dictionary-sized table, not on the mention stream,
+    # so its distinct() is a no-op-priced re-agg (one full-cache scan total,
+    # was two).  localCheckpoint: everything downstream (entities,
+    # norm->entity dictionary) is dictionary-sized; without the eager cut,
+    # every broadcast exchange of a derived table launches its own job that
+    # re-scans the full cached change log — measured ~8-10 redundant
+    # big-cache scans (~90 s at local[16], k=48) for tables of a few
+    # thousand rows.
     norm_kind = (
         mentions.groupBy("norm")
         .agg(
@@ -92,6 +94,7 @@ def build_entities(mentions: DataFrame, tau: float | None = None) -> tuple[DataF
         )
         .localCheckpoint(eager=True)
     )
+    comp = norm_components(norm_kind, tau).cache()  # reused by entities + dict
     member = comp.join(norm_kind, "norm", "left")
     ent = (
         member.groupBy("canonical_norm")
