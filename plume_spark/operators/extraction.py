@@ -244,8 +244,41 @@ def _extract_batches(batches):
             yield out
 
 
+def _extract_batches_compact(batches):
+    """mapInPandas adapter with per-batch mention pre-aggregation: mention
+    records collapse to the batch's DISTINCT (norm, kind) pairs (a map-side
+    partial of the global per-norm reduction build_entities performs), triple
+    records pass through untouched.
+
+    Entity linking is a pure function of the distinct-norm dictionary and the
+    kind hint is a global min over (norm, kind) pairs, so collapsing
+    duplicates inside a batch changes NOTHING downstream — it just stops
+    shipping the same surface form thousands of times through Arrow and the
+    cache (mention occurrences outnumber distinct norms ~3000:1 at bench
+    scale; the mention-stream scan was measured memory-bandwidth-bound, i.e.
+    the one cost MORE cores cannot buy down)."""
+    for pdf in batches:
+        out = _extract_part(pdf)
+        if not len(out):
+            continue
+        is_m = out["rec_kind"] == "mention"
+        m = out[is_m]
+        if len(m):
+            m = m.drop_duplicates(subset=["norm", "kind"])
+            # identity/position fields are occurrence-level — null them so a
+            # compact record can never be mistaken for a real occurrence
+            m = m.assign(
+                conv_id=None, turn_idx=None, surface=None,
+                span_start=None, span_end=None, arg_index=None,
+            )
+        yield pd.concat([m, out[~is_m]], ignore_index=True)
+
+
 def extract_changelog(
-    transcripts: DataFrame, n_parts: int | None = None, colocate: bool = False
+    transcripts: DataFrame,
+    n_parts: int | None = None,
+    colocate: bool = False,
+    compact_mentions: bool = False,
 ) -> DataFrame:
     """Parallel extraction pass: valid rows -> change-log DataFrame.
 
@@ -269,7 +302,13 @@ def extract_changelog(
       fixed 256 so work units are identical at every cluster size),
       conversations contiguous in stable turn order within a part.  Use when
       a future grammar needs cross-turn context, or on a cluster where the
-      storage bucketing makes the groupBy shuffle-free anyway."""
+      storage bucketing makes the groupBy shuffle-free anyway.
+
+    ``compact_mentions`` (default-path only): mention records are collapsed
+    to per-batch distinct (norm, kind) pairs — sufficient (and ~3000x
+    lighter at bench scale) for entity linking, which is a pure function of
+    the distinct-norm dictionary; occurrence-level fields are nulled.  Use
+    for linking-only pipelines; the store/staging path keeps full records."""
     valid, _ = split_valid_rejects(transcripts)
     if colocate:
         p = n_parts or 256
@@ -280,8 +319,9 @@ def extract_changelog(
             .applyInPandas(lambda pdf: _extract_part(pdf), schema=_UDF_SCHEMA)
         )
     else:
+        fn = _extract_batches_compact if compact_mentions else _extract_batches
         extracted = valid.select("conv_id", "turn_idx", "text").mapInPandas(
-            _extract_batches, schema=_UDF_SCHEMA
+            fn, schema=_UDF_SCHEMA
         )
     # stable mention identity, JVM-side and vectorized (the IDriver.scala:91-98
     # identity contract): deterministic over the natural key, so resume runs

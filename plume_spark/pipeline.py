@@ -48,14 +48,18 @@ def run_pipeline(
     from plume_spark.operators.constraints import kind_violations
 
     _, rejects = split_valid_rejects(transcripts)
-    changelog = extract_changelog(transcripts)
     # One extraction pass feeds both mention and triple branches — persist so
     # the pandas UDF runs once (the reference runs runOnPart once and splits
-    # the DiffGraph afterwards, Neo4jDriver.scala:198-212).  Only the columns
-    # the pipeline's own jobs consume are cached (the columnar cache build is
-    # memory-bandwidth-bound; surface/span/mention_id columns are ~1/3 of the
-    # volume and nothing downstream of the cache reads them); the full
-    # per-mention frame stays available as a lazy recompute.
+    # the DiffGraph afterwards, Neo4jDriver.scala:198-212).  Two volume cuts,
+    # both because the columnar cache build (and every scan of it) is
+    # memory-bandwidth-bound — the one cost more cores cannot buy down:
+    # (a) compact_mentions collapses mention records to per-batch distinct
+    #     (norm, kind) pairs (linking is a pure function of the distinct-norm
+    #     dictionary, so downstream results are identical);
+    # (b) only the columns the pipeline's own jobs consume are cached.
+    # The full per-occurrence mention frame stays available as a lazy,
+    # uncached recompute (PipelineResult.mentions).
+    changelog = extract_changelog(transcripts, compact_mentions=True)
     slim = changelog.select(
         "rec_kind", "conv_id", "turn_idx", "norm", "kind", "pred",
         "subj_norm", "subj_kind", "obj_norm", "obj_kind",
@@ -70,7 +74,8 @@ def run_pipeline(
     )
     entities, norm_to_entity = build_entities(mentions_slim, tau)
     triples = canonicalize_triples(raw_triples, norm_to_entity)
-    mentions, _ = split_changelog(changelog)  # full frame: lazy, uncached
+    # full per-occurrence frame: lazy, uncached, re-extracts only if read
+    mentions, _ = split_changelog(extract_changelog(transcripts))
     return PipelineResult(
         mentions, entities, triples, rejects, kind_violations(raw_triples)
     )

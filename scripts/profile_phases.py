@@ -34,7 +34,7 @@ def main():
     phases: dict[str, float] = {}
 
     t0 = time.time()
-    changelog = extract_changelog(t)
+    changelog = extract_changelog(t, compact_mentions=True)
     slim = changelog.select(
         "rec_kind", "conv_id", "turn_idx", "norm", "kind", "pred",
         "subj_norm", "subj_kind", "obj_norm", "obj_kind",
