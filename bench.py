@@ -88,6 +88,23 @@ EXTRA_QUERIES = {
 }
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """JMH fork-warmup analog (the reference's harness measures only after
+    @Warmup iterations: GraphReadBenchmark.scala:30, Benchmark.scala:70
+    warmupTime 30 s): run the full pipeline once on a k=2 replica so codegen
+    classes are compiled, the Python worker pool is spun up, and parquet
+    footers are hot — then drop the warmup cache and measure.  On a real
+    cluster the same effect comes from long-lived executors; without it a
+    fresh-JVM fork bills one-time JIT/startup to whichever level runs,
+    which is noise, not scaling."""
+    from plume_spark import graft
+    from plume_spark.pipeline import run_pipeline, triples_with_names
+
+    t = graft.kg_transcripts_scaled(spark, sf_dir, 2)
+    triples_with_names(run_pipeline(t, tau=0.95)).count()
+    spark.catalog.clearCache()
+
+
 def _run_query(df) -> int:
     """Force full execution without driver materialization cost dominating:
     noop sink executes every task and discards rows."""
@@ -104,6 +121,8 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     )
     qs = {**entrymod.queries(), **EXTRA_QUERIES}
     names = names or HEADLINE
+    if "kg_build_scaled" in names and os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        _warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     n_triples = 0
     for name in names:

@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 NODE_ORDER_OFFSET = 1_000_000
 NODE_PART_OFFSET = 2_000_000
 
+# fixed extraction work-unit count for the scaling substrate (see
+# kg_transcripts_scaled): identical units at every cluster size, several
+# waves per core at both bench levels (local[2] and local[8]).
+SCALE_UNITS = 64
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -72,8 +77,18 @@ def kg_transcripts_scaled(spark: SparkSession, sf_dir: str, k: int) -> DataFrame
     while keeping the input deterministic and identical across parallelism
     levels.  Replicas share surface forms, so the distinct-norm dictionary
     (deliberately scale-free, like real entity vocabularies) is unchanged.
+
+    The substrate is repartitioned into a FIXED number of conv-hash work
+    units (64) BEFORE replication — the reference's fixed part list
+    (PlumeForkJoinParallelCpgPass generates identical parts regardless of
+    pool size).  Without this, downstream extraction parallelism equals
+    whatever ``spark.sql.shuffle.partitions`` the window left (= core
+    count): one giant task per core, no load balancing, and the slowest
+    task gates N-vs-4N scaling.  Shuffling here moves only the k=1
+    substrate (~150k rows), not the replicated text stream; the broadcast
+    replication and the extraction UDF then run within the 64 units.
     """
-    t = kg_transcripts(spark, sf_dir)
+    t = kg_transcripts(spark, sf_dir).repartition(SCALE_UNITS, "conv_id")
     reps = spark.range(k).select(F.col("id").cast("int").alias("_rep"))
     return t.crossJoin(reps).select(
         F.concat("conv_id", F.lit("-r"), F.col("_rep")).alias("conv_id"),

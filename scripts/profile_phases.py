@@ -30,6 +30,10 @@ def main():
     spark = get_spark(
         app_name="plume-profile", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        from bench import _warmup
+
+        _warmup(spark, SF)
     t = graft.kg_transcripts_scaled(spark, SF, K)
     phases: dict[str, float] = {}
 
