@@ -3,5 +3,11 @@ from plume_spark.streaming.ingest import (
     stream_build,
     stream_turn_counts,
 )
+from plume_spark.streaming.stateful import ordered_turn_release
 
-__all__ = ["read_transcript_stream", "stream_build", "stream_turn_counts"]
+__all__ = [
+    "read_transcript_stream",
+    "stream_build",
+    "stream_turn_counts",
+    "ordered_turn_release",
+]

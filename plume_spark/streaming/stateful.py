@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator: in-order turn release.
+
+The north-rule invariant is "per-turn text equality under stable turn
+ordering" — in batch, a window over ``turn_idx`` (operators/ordering.py).
+Under continuous arrival the same guarantee needs per-conversation STATE:
+turns of one conversation can land in different micro-batches and out of
+order, and a downstream consumer (the extraction pass, an exporter) must
+still see each conversation as a contiguous ``turn_idx`` prefix.
+
+``ordered_turn_release`` is the applyInPandasWithState recast of the
+reference's stable-ordering guarantee (the reference sorts whole
+compilation units before running a pass; a stream cannot sort what has not
+arrived yet, so it buffers):
+
+* state per ``conv_id``: the next expected ``turn_idx`` plus the buffered
+  out-of-order turns (JSON-encoded rows — state rides Spark's state store,
+  so it must be a flat struct);
+* each micro-batch merges arrivals with the buffer and releases the
+  maximal contiguous prefix, in order;
+* duplicate arrivals of an already-released ``turn_idx`` are dropped
+  (exactly-once release under at-least-once file replay);
+* gaps stay buffered across micro-batches until the missing turn arrives.
+
+All work is Arrow-batched pandas (§2.10: no per-row Python in plans);
+state size per key is O(out-of-order window), not O(conversation).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# released rows keep the authoritative transcript shape (input_hint)
+OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+# next contiguous turn_idx to release + JSON-encoded buffered rows
+STATE_SCHEMA = "next_idx int, buffered string"
+
+_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _release(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    next_idx, buffered = state.get if state.exists else (0, "[]")
+    rows: dict[int, dict[str, Any]] = {r["turn_idx"]: r for r in json.loads(buffered)}
+    for pdf in pdfs:
+        for r in pdf.to_dict("records"):
+            idx = int(r["turn_idx"])
+            if idx >= next_idx and idx not in rows:  # drop dup / already-released
+                ts = r["ts"]
+                r["ts"] = None if pd.isnull(ts) else ts.isoformat()
+                r["turn_idx"] = idx
+                rows[idx] = r
+    out = []
+    while next_idx in rows:
+        out.append(rows.pop(next_idx))
+        next_idx += 1
+    state.update((next_idx, json.dumps(list(rows.values()))))
+    if out:
+        pdf = pd.DataFrame(out, columns=_COLS)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        yield pdf
+
+
+def ordered_turn_release(transcripts_stream: DataFrame) -> DataFrame:
+    """Streaming DataFrame of turns released in contiguous per-conversation
+    ``turn_idx`` order, each exactly once, across micro-batch boundaries."""
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        _release,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -102,3 +102,64 @@ def test_stream_turn_counts_watermarked(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ordered_turn_release_stateful(spark, tmp_path):
+    """applyInPandasWithState in-order release: out-of-order arrival across
+    micro-batches yields each turn exactly once, and after every micro-batch
+    the released turns of each conversation form a contiguous 0..k prefix."""
+    import time
+    from collections import defaultdict
+
+    from plume_spark.streaming import ordered_turn_release
+
+    t = generate_transcripts(spark, 8, seed=13)
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "released")
+
+    tails = t.filter("turn_idx >= 2")  # heads withheld: tails must buffer
+    heads_a = t.filter("turn_idx < 2 and conv_id < 'conv-00000004'")
+    heads_b = t.filter("turn_idx < 2 and conv_id >= 'conv-00000004'")
+    _land(tails.union(heads_a), inbox)  # releases only heads_a prefixes
+    time.sleep(0.2)
+    _land(heads_b, inbox)  # unlocks the buffered tails of the b-convs
+    time.sleep(0.2)
+    _land(tails, inbox)  # at-least-once replay: must release nothing new
+
+    def _cap(bdf, eid):
+        bdf.withColumn("batch_id", F.lit(int(eid))).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        ordered_turn_release(
+            read_transcript_stream(spark, inbox, max_files_per_trigger=1)
+        )
+        .writeStream.foreachBatch(_cap)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rel = spark.read.parquet(out_dir)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # exactly-once: every turn released once despite the duplicate landing
+    assert sorted(map(tuple, rel.select(*cols).collect())) == sorted(
+        map(tuple, t.select(*cols).collect())
+    )
+    # in-order: cumulatively after each micro-batch, each conversation's
+    # released turn_idx set is a contiguous prefix starting at 0
+    rows = rel.select("batch_id", "conv_id", "turn_idx").collect()
+    seen = defaultdict(set)
+    batch_sizes = defaultdict(int)
+    for b in sorted({r["batch_id"] for r in rows}):
+        for r in rows:
+            if r["batch_id"] == b:
+                seen[r["conv_id"]].add(r["turn_idx"])
+                batch_sizes[b] += 1
+        for idxs in seen.values():
+            assert idxs == set(range(len(idxs)))
+    # the gap really spanned micro-batches: >1 non-empty release batch
+    assert len(batch_sizes) > 1
