@@ -41,7 +41,10 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard config."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    master = master or os.environ.get("PLUME_SPARK_MASTER", f"local[{cpus}]")
+    if master is None:
+        master = os.environ.get("PLUME_SPARK_MASTER", f"local[{cpus}]")
+    # master="" means: do NOT set spark.master here — inherit it from the
+    # submitted conf (spark-submit --master ...), the cluster deployment path.
     if shuffle_partitions is None:
         # local mode: one shuffle partition per core keeps tiny-data latency low
         # while AQE coalesces further; on a cluster pass an explicit value.
@@ -50,7 +53,6 @@ def get_spark(
 
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -93,6 +95,8 @@ def get_spark(
         # DuckDB oracle, so pin it off.
         .config("spark.sql.icu.caseMappings.enabled", "false")
     )
+    if master:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
