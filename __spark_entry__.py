@@ -426,6 +426,37 @@ def _q_mm_features(spark, sf):
     )
 
 
+def _q_stream_ordered_release(spark, sf):
+    # The custom stateful streaming operator (applyInPandasWithState) run for
+    # real: land the kg transcripts out of order (turn tails first, heads in
+    # a later file), drain with maxFilesPerTrigger=1 so the tails must buffer
+    # in state across micro-batches, and return the released rows.  The
+    # oracle is exact — in-order exactly-once release means the released set
+    # IS the transcript set (per-turn text equality under stable ordering,
+    # the north-rule invariant, now under continuous out-of-order arrival).
+    import tempfile
+    import time
+
+    from plume_spark.streaming import ordered_turn_release, read_transcript_stream
+
+    t = graft.kg_transcripts(spark, sf)
+    d = tempfile.mkdtemp(prefix="plume-stream-contract-")
+    inbox, ckpt, outdir = f"{d}/in", f"{d}/ck", f"{d}/out"
+    t.filter("turn_idx >= 1").write.mode("append").parquet(inbox)
+    time.sleep(0.1)
+    t.filter("turn_idx < 1").write.mode("append").parquet(inbox)
+    q = (
+        ordered_turn_release(read_transcript_stream(spark, inbox, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(outdir).select("conv_id", "turn_idx", "role", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_turn_ordering": _q_w1,
@@ -474,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_order_sum": _q_order_sum,
         "a2_order_count": _q_order_count,
         "a4_map_merge": _q_a4_map_merge,
+        "stream_ordered_release": _q_stream_ordered_release,
     }
 
 
@@ -846,6 +878,20 @@ def oracle_sql() -> dict[str, str]:
                {subj_norm} AS subj_norm,
                CASE WHEN o_orderkey % 2 = 0 THEN 'works_at' ELSE 'visited' END AS pred,
                {obj_norm} AS obj_norm
+        FROM t"""
+    # the stateful release is exactly-once and in-order, so its output set is
+    # the transcript set itself (same derivation as kg_extract_raw's CTE)
+    sql["stream_ordered_release"] = """
+        WITH t AS (
+          SELECT c.c_custkey, c.c_name, n.n_name, o.o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                         ORDER BY o.o_orderdate, o.o_orderkey) - 1 AS INT) AS turn_idx
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey)
+        SELECT 'conv-' || CAST(c_custkey AS VARCHAR) AS conv_id, turn_idx,
+               'user' AS role,
+               c_name || (CASE WHEN o_orderkey % 2 = 0 THEN ' works at ' ELSE ' visited ' END) || n_name AS text
         FROM t"""
     sql["ann_ivf_topk"] = """
         WITH cents AS (
