@@ -426,6 +426,17 @@ def _q_mm_features(spark, sf):
     )
 
 
+def _q_mm_frame_sample(spark, sf):
+    # video frame-sampling fan-out plan: pure column arithmetic, payload
+    # never read (column pruning drops it from the scan)
+    from plume_spark.operators.multimodal import frame_sample_plan
+
+    media = graft.documents_media(spark, sf)
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
 def _q_stream_ordered_release(spark, sf):
     # The custom stateful streaming operator (applyInPandasWithState) run for
     # real: land the kg transcripts out of order (turn tails first, heads in
@@ -506,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_order_count": _q_order_count,
         "a4_map_merge": _q_a4_map_merge,
         "stream_ordered_release": _q_stream_ordered_release,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
@@ -1018,4 +1030,11 @@ def oracle_sql() -> dict[str, str]:
                       list_transform(string_split_regex(text, ''), c -> ascii(c)),
                       'sum'), 0) % 4611686018427387904 AS BIGINT) AS checksum
         FROM documents"""
+    # Spark: sequence(0, greatest(duration_ms-1, 0), 1000) — inclusive end;
+    # DuckDB range is exclusive-end, so range(0, max(duration, 1), 1000) is
+    # the exact equivalent (duration 0 still emits frame 0 on both engines).
+    sql["mm_frame_sample"] = """
+        SELECT doc_id AS media_id,
+               CAST(unnest(range(0, CASE WHEN n_chars * 10 > 1 THEN n_chars * 10 ELSE 1 END, 1000)) AS BIGINT) AS frame_ts_ms
+        FROM documents WHERE doc_id % 3 = 2"""
     return sql

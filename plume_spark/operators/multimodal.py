@@ -118,6 +118,51 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """mapInPandas resize: nearest-neighbor downsample of the payload
+    interpreted as a width x height byte grid (the stub-decode pixel
+    stand-in; a real deployment swaps the grid for decode_real's pixel
+    array — identical batch shape and schema).  Non-image rows pass through
+    untouched; output schema == input schema (MEDIA), width/height updated.
+    Deterministic, so tests are exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads, ws, hs = [], [], []
+            for payload, mod, w in zip(b["payload"], b["modality"], b["width"]):
+                if mod != "image" or payload is None:
+                    payloads.append(payload)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                sw = int(w) if not pd.isnull(w) and w > 0 else max(
+                    int(np.ceil(np.sqrt(max(len(data), 1)))), 1
+                )
+                sh = max(int(np.ceil(len(data) / sw)), 1)
+                grid = np.pad(data, (0, sw * sh - len(data))).reshape(sh, sw)
+                yi = (np.arange(out_h) * sh) // out_h
+                xi = (np.arange(out_w) * sw) // out_w
+                payloads.append(grid[np.ix_(yi, xi)].astype(np.uint8).tobytes())
+                ws.append(out_w)
+                hs.append(out_h)
+            out = b.copy()
+            out["payload"] = payloads
+            out["width"] = pd.Series(
+                [w if w is not None else b["width"].iloc[i] for i, w in enumerate(ws)],
+                index=b.index,
+                dtype="object",
+            )
+            out["height"] = pd.Series(
+                [h if h is not None else b["height"].iloc[i] for i, h in enumerate(hs)],
+                index=b.index,
+                dtype="object",
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA)
+
+
 def synthetic_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
     """Deterministic media fixture: payload bytes derived from (seed, id)."""
     rng = np.random.default_rng(seed)

@@ -147,6 +147,25 @@ def test_multimodal_plumbing(spark):
     # frame sampling plan never touches payload
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.count() > 0 and "payload" not in plan.columns
+    # resize: images become out_w x out_h byte grids, deterministic; other
+    # modalities pass through byte-identical
+    from plume_spark.operators.multimodal import resize_images
+
+    orig = {r["media_id"]: r for r in media.collect()}
+    rs = {r["media_id"]: r for r in resize_images(media, out_w=8, out_h=6).collect()}
+    assert set(rs) == set(orig)
+    for i, r in rs.items():
+        if orig[i]["modality"] == "image":
+            assert (r["width"], r["height"]) == (8, 6)
+            assert len(r["payload"]) == 8 * 6
+        else:
+            assert bytes(r["payload"]) == bytes(orig[i]["payload"])
+            assert r["duration_ms"] == orig[i]["duration_ms"]
+    again = {
+        r["media_id"]: r
+        for r in resize_images(synthetic_media(spark, n=9, seed=1), out_w=8, out_h=6).collect()
+    }
+    assert all(bytes(again[i]["payload"]) == bytes(rs[i]["payload"]) for i in rs)
     with pytest.raises(NotImplementedError):
         decode_real(b"xx", "image/png")
 
