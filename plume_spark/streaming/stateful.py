@@ -19,7 +19,11 @@ arrived yet, so it buffers):
   maximal contiguous prefix, in order;
 * duplicate arrivals of an already-released ``turn_idx`` are dropped
   (exactly-once release under at-least-once file replay);
-* gaps stay buffered across micro-batches until the missing turn arrives.
+* gaps stay buffered across micro-batches until the missing turn arrives —
+  or, with ``gap_timeout_ms`` set, until the conversation has been silent
+  that long: the timeout flushes the buffer in ``turn_idx`` order, skipping
+  the permanently-missing turns (at web scale some turns never arrive;
+  unbounded buffering would leak state forever).
 
 All work is Arrow-batched pandas (§2.10: no per-row Python in plans);
 state size per key is O(out-of-order window), not O(conversation).
@@ -46,11 +50,22 @@ STATE_SCHEMA = "next_idx int, buffered string"
 _COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def _release(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+def _release_logic(
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     next_idx, buffered = state.get if state.exists else (0, "[]")
     rows: dict[int, dict[str, Any]] = {r["turn_idx"]: r for r in json.loads(buffered)}
+    if gap_timeout_ms is not None and state.hasTimedOut:
+        # conversation went silent with a gap: flush the buffer in turn_idx
+        # order, skipping the turns that never arrived (bounded state)
+        out = [rows[i] for i in sorted(rows)]
+        state.update((max(rows, default=next_idx - 1) + 1, "[]"))
+        state.setTimeoutDuration(gap_timeout_ms)
+        if out:
+            yield _to_pdf(out)
+        return
     for pdf in pdfs:
         for r in pdf.to_dict("records"):
             idx = int(r["turn_idx"])
@@ -64,20 +79,46 @@ def _release(
         out.append(rows.pop(next_idx))
         next_idx += 1
     state.update((next_idx, json.dumps(list(rows.values()))))
+    if gap_timeout_ms is not None:
+        state.setTimeoutDuration(gap_timeout_ms)
     if out:
-        pdf = pd.DataFrame(out, columns=_COLS)
-        pdf["ts"] = pd.to_datetime(pdf["ts"])
-        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
-        yield pdf
+        yield _to_pdf(out)
 
 
-def ordered_turn_release(transcripts_stream: DataFrame) -> DataFrame:
+def _to_pdf(out: list) -> pd.DataFrame:
+    pdf = pd.DataFrame(out, columns=_COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf
+
+
+def _release(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    yield from _release_logic(pdfs, state, gap_timeout_ms=None)
+
+
+def ordered_turn_release(
+    transcripts_stream: DataFrame, gap_timeout_ms: int | None = None
+) -> DataFrame:
     """Streaming DataFrame of turns released in contiguous per-conversation
-    ``turn_idx`` order, each exactly once, across micro-batch boundaries."""
+    ``turn_idx`` order, each exactly once, across micro-batch boundaries.
+
+    ``gap_timeout_ms``: optional processing-time bound on how long a gap may
+    block a conversation; on expiry the buffered tail flushes in order
+    (still deduped, no longer contiguous).  None = buffer until arrival."""
+    if gap_timeout_ms is None:
+        fn, conf = _release, GroupStateTimeout.NoTimeout
+    else:
+
+        def fn(key, pdfs, state):  # bind the timeout
+            yield from _release_logic(pdfs, state, gap_timeout_ms=gap_timeout_ms)
+
+        conf = GroupStateTimeout.ProcessingTimeTimeout
     return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
-        _release,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )

@@ -163,3 +163,60 @@ def test_ordered_turn_release_stateful(spark, tmp_path):
             assert idxs == set(range(len(idxs)))
     # the gap really spanned micro-batches: >1 non-empty release batch
     assert len(batch_sizes) > 1
+
+
+def test_gap_timeout_flush_logic():
+    """Deterministic unit test of the gap-timeout flush path: a permanently
+    missing turn_idx must not buffer the tail forever — on timeout the buffer
+    flushes in order (skipping the hole) and later duplicates stay deduped."""
+    import pandas as pd
+
+    from plume_spark.streaming.stateful import _COLS, _release_logic
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.timeout_set = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    def turns(idxs):
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(idxs),
+                "turn_idx": idxs,
+                "role": ["user"] * len(idxs),
+                "text": [f"t{i}" for i in idxs],
+                "tool": [None] * len(idxs),
+                "ts": [pd.Timestamp("2026-01-01")] * len(idxs),
+            },
+            columns=_COLS,
+        )
+
+    st = FakeState()
+    # batch 1: turn 1 never arrives; 0 releases, 2 and 3 buffer
+    out = list(_release_logic(iter([turns([0, 2, 3])]), st, gap_timeout_ms=5000))
+    assert [r for o in out for r in o["turn_idx"]] == [0]
+    assert st.timeout_set == 5000 and st._v[0] == 1
+
+    # timeout fires: buffered 2,3 flush in order, state advances past them
+    st.hasTimedOut = True
+    out = list(_release_logic(iter([]), st, gap_timeout_ms=5000))
+    assert [r for o in out for r in o["turn_idx"]] == [2, 3]
+    assert st._v == (4, "[]")
+
+    # late replay of already-flushed turns: dropped (idx < next_idx)
+    st.hasTimedOut = False
+    out = list(_release_logic(iter([turns([2, 3, 4])]), st, gap_timeout_ms=5000))
+    assert [r for o in out for r in o["turn_idx"]] == [4]
