@@ -220,3 +220,42 @@ def test_gap_timeout_flush_logic():
     st.hasTimedOut = False
     out = list(_release_logic(iter([turns([2, 3, 4])]), st, gap_timeout_ms=5000))
     assert [r for o in out for r in o["turn_idx"]] == [4]
+
+
+def test_stateful_release_survives_restart(spark, tmp_path):
+    """State-store durability: turns buffered by one query incarnation are
+    released by a NEW query started later on the same checkpoint — the
+    exactly-once contract holds across restarts, not just micro-batches."""
+    from plume_spark.streaming import ordered_turn_release
+
+    t = generate_transcripts(spark, 6, seed=21)
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "released")
+
+    def drain():
+        q = (
+            ordered_turn_release(read_transcript_stream(spark, inbox))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # incarnation 1: only tails arrive -> everything buffers into state
+    _land(t.filter("turn_idx >= 1"), inbox)
+    drain()
+    released = spark.read.parquet(out_dir)
+    assert released.count() == 0  # nothing contiguous yet
+
+    # incarnation 2 (fresh query object, same checkpoint): heads land; the
+    # state recovered from the checkpoint must release the FULL prefix,
+    # including the turns buffered by incarnation 1
+    _land(t.filter("turn_idx < 1"), inbox)
+    drain()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert sorted(map(tuple, spark.read.parquet(out_dir).select(*cols).collect())) == sorted(
+        map(tuple, t.select(*cols).collect())
+    )
