@@ -296,13 +296,95 @@ class SnapshotTable:
         keep = ~F.coalesce(F.expr(condition), F.lit(False))
         return self.overwrite(self.read().filter(keep))
 
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, target_file_rows: int = 4_000_000, min_files: int = 2) -> int | None:
+        """Small-file compaction — the Iceberg ``rewrite_data_files`` analog.
+
+        Streaming/MERGE ingest commits a handful of files per micro-batch; at
+        100 TB the FILE COUNT, not the byte count, becomes the bottleneck
+        (driver memory for listings, a task per file, a footer open per file).
+        Rewrites the current snapshot as one fresh layout-conforming fileset
+        (re-bucketed, re-sorted, stats re-harvested) and commits it as a
+        ``compact`` snapshot: same rows, fewer files, tighter min/max ranges.
+        Old snapshots keep referencing the old files, so time travel is
+        unaffected until ``expire_snapshots`` reclaims them.
+
+        Returns the new snapshot id, or None when the table already holds
+        ``min_files`` or fewer files (no-op — compaction must be idempotent
+        and cheap to call on a schedule).
+        """
+        import math
+
+        entries = self._entries(self._manifest(self._current_version()))
+        lay = self.layout
+        if lay and lay.bucket_by:
+            # bucketed natural form: at most one file per bucket — already
+            # there (no stray unbucketed files, no bucket split across files)
+            buckets = [e.get("bucket") for e in entries]
+            if None not in buckets and len(buckets) == len(set(buckets)):
+                return None
+        elif len(entries) <= min_files:
+            return None
+        df = self.read()
+        if not (lay and lay.bucket_by and lay.bucket_by in df.columns):
+            # unbucketed: bin-pack into ceil(rows/target) files (coalesce only
+            # ever narrows, so a small table collapses to one file)
+            n = max(1, math.ceil(self.row_count() / max(1, target_file_rows)))
+            df = df.coalesce(n)
+        files, cnt = self._write_files(df)
+        return self._commit(files, cnt, "compact")
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analog: retain only the most recent
+        ``keep_last`` snapshots, delete older manifests and every data file no
+        retained snapshot references.  Bounds metadata + storage growth for
+        always-on ingest, where every micro-batch is a commit.  Time travel
+        remains valid for retained snapshots only (reads of expired ids fail
+        loudly with the missing manifest, never silently serve partial data).
+        """
+        keep_last = max(1, keep_last)
+        retained: list[int] = []
+        v = self._current_version()
+        while v and len(retained) < keep_last:
+            retained.append(v)
+            v = self._manifest(v)["parent"] or 0
+        keep_files = {
+            e["path"] for rv in retained for e in self._entries(self._manifest(rv))
+        }
+        removed_manifests = removed_files = 0
+        snapdir = os.path.join(self.path, "_snapshots")
+        for fname in os.listdir(snapdir):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            if int(fname[1:-5]) not in retained:
+                os.remove(os.path.join(snapdir, fname))
+                removed_manifests += 1
+        datadir = os.path.join(self.path, "data")
+        for dirpath, _dirs, fnames in os.walk(datadir, topdown=False):
+            for fname in fnames:
+                abs_p = os.path.join(dirpath, fname)
+                if os.path.relpath(abs_p, self.path) not in keep_files:
+                    os.remove(abs_p)  # also sweeps _SUCCESS markers of expired commits
+                    removed_files += 1
+            if dirpath != datadir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return {
+            "retained": retained,
+            "removed_manifests": removed_manifests,
+            "removed_data_files": removed_files,
+        }
+
     # ------------------------------------------------------------ metadata
 
     def snapshots(self) -> list[dict]:
         out = []
         v = self._current_version()
         while v:
-            m = self._manifest(v)
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                break  # older history expired — lineage stops here
             out.append(m)
             v = m["parent"] or 0
         return list(reversed(out))

@@ -99,6 +99,13 @@ def stream_build(
     q.awaitTermination()
     if materialize and progress["epochs"]:
         progress.update(materialize_graph(store, tau))
+    # post-drain maintenance: every epoch's MERGE appended a small fileset to
+    # staging; bin-pack them back into a layout-conforming fileset so the next
+    # drain's anti-join scans files proportional to data, not to epochs
+    # (Iceberg rewrite_data_files on a schedule).  History is retained —
+    # reclaiming it is the operator's explicit expire_snapshots call.
+    if progress["epochs"] and staging.compact(min_files=1) is not None:
+        progress["compacted"] = True
     return progress
 
 

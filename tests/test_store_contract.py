@@ -244,3 +244,54 @@ def test_merge_upsert_and_delete_where(spark, store):
     t.delete_where("kind = 'tool'")
     assert t.read().filter("entity_id = 3").count() == 0
     assert t.row_count() == 3
+
+
+def test_compact_and_expire_snapshots(spark, store):
+    """Maintenance contract (Iceberg rewrite_data_files / expire_snapshots
+    analogs): micro-batch appends -> many small files; compact() rewrites the
+    current snapshot into fewer layout-conforming files with identical rows
+    and keeps time travel intact; expire_snapshots() then reclaims the old
+    files and manifests, after which only retained history is readable."""
+    t = store.entities
+    for i in range(5):  # five micro-batch commits, one tiny fileset each
+        t.append(
+            spark.createDataFrame(
+                [(10 * i + j, f"e{10 * i + j}", "person", [f"e{10 * i + j}"]) for j in range(10)],
+                schema=ENTITIES,
+            )
+        )
+    pre_files = t.files_for()
+    pre_rows = {r["entity_id"] for r in t.read().collect()}
+    v_pre = t._current_version()
+
+    v_compact = t.compact()
+    assert v_compact == v_pre + 1
+    post_files = t.files_for()
+    assert len(post_files) < len(pre_files)
+    assert {r["entity_id"] for r in t.read().collect()} == pre_rows
+    assert t.row_count() == 50
+    # old snapshots still readable before expiry (their files are untouched)
+    assert t.read(snapshot_id=v_pre).count() == 50
+    assert t.read(snapshot_id=v_pre - 1).count() == 40
+    # point reads still prune on the compacted layout
+    assert len(t.files_for(point={"entity_id": 17})) < len(post_files)
+
+    # a second compact on an already-compacted table is a no-op
+    assert t.compact() is None
+
+    import os
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["retained"] == [v_compact]
+    assert stats["removed_data_files"] > 0 and stats["removed_manifests"] == v_pre
+    # current snapshot unaffected; expired history gone, loudly
+    assert {r["entity_id"] for r in t.read().collect()} == pre_rows
+    assert [m["version"] for m in t.snapshots()] == [v_compact]
+    with pytest.raises(FileNotFoundError):
+        t.read(snapshot_id=v_pre)
+    # every surviving on-disk parquet is referenced by the retained manifest
+    on_disk = set()
+    for dirpath, _dirs, fnames in os.walk(os.path.join(t.path, "data")):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(dirpath, f), t.path))
+    assert on_disk == set(t.files_for())

@@ -42,6 +42,11 @@ def test_stream_matches_batch_and_redrain_is_noop(spark, tmp_path):
     stats = stream_build(stream, s, ckpt, tau=0.95)
     assert stats["epochs"] >= 2  # maxFilesPerTrigger=1 forces per-file epochs
     assert stats["rows_in"] == t.count()
+    # post-drain maintenance ran: staging holds one layout-conforming fileset,
+    # not one fileset per epoch
+    assert stats.get("compacted") is True
+    staging = s.catalog.table("changelog")
+    assert len(staging.files_for()) < stats["epochs"] * 2
 
     b = GraphStore(spark, str(tmp_path / "batch-store"))
     build_graph(t, b, tau=0.95)
