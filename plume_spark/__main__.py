@@ -112,6 +112,40 @@ def _stream(args) -> int:
     return 0
 
 
+def _maintain(args) -> int:
+    """Table maintenance (Iceberg rewrite_data_files / expire_snapshots
+    analogs): compact every store table to its layout-natural fileset and,
+    with --expire, reclaim history older than the last N snapshots."""
+    from plume_spark.session import get_spark
+    from plume_spark.store.graph import GraphStore
+
+    from plume_spark.pipeline import staging_table
+
+    spark = get_spark(app_name="plume-maintain", master=args.master)
+    store = GraphStore(spark, args.store)
+    # typed handles carry each table's declared layout — compaction rewrites
+    # into THAT layout (an untyped handle would flatten a bucketed table)
+    names = store.catalog.tables()
+    handles = {
+        "entities": store.entities,
+        "triples": store.triples,
+        "lineage": store.lineage,
+    }
+    if "changelog" in names:
+        handles["changelog"] = staging_table(store)
+    report: dict[str, dict] = {}
+    for name in names:
+        t = handles.get(name) or store.catalog.table(name)
+        r: dict = {"files_before": len(t.files_for())}
+        r["compacted_snapshot"] = t.compact(target_file_rows=args.target_file_rows)
+        if args.expire is not None:
+            r["expired"] = t.expire_snapshots(keep_last=args.expire)
+        r["files_after"] = len(t.files_for())
+        report[name] = r
+    print(json.dumps(report))
+    return 0
+
+
 def _clear(args) -> int:
     from plume_spark.session import get_spark
     from plume_spark.store.graph import GraphStore
@@ -156,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tau", type=float, default=None)
     s.add_argument("--max-files-per-trigger", type=int, default=None)
     s.set_defaults(fn=_stream)
+
+    m = sub.add_parser("maintain", help="compact tables; optionally expire old snapshots")
+    m.add_argument("--store", required=True)
+    m.add_argument("--target-file-rows", type=int, default=4_000_000)
+    m.add_argument("--expire", type=int, default=None, help="keep only the last N snapshots per table")
+    m.set_defaults(fn=_maintain)
 
     c = sub.add_parser("clear", help="destructive clear (S8)")
     c.add_argument("--store", required=True)

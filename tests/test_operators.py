@@ -120,6 +120,16 @@ def test_cli_build_query_export(spark, tmp_path):
     generate_transcripts(spark, 6, seed=3).coalesce(1).write.parquet(inbox)
     store2 = str(tmp_path / "store2")
     assert main(["stream", "--input", inbox, "--store", store2]) == 0
+    # maintain subcommand: compaction + expiry leave the graph readable and
+    # the bucketed layout intact (point reads still prune)
+    assert main(["maintain", "--store", store2, "--expire", "1"]) == 0
+    from plume_spark.store.graph import GraphStore
+
+    s2 = GraphStore(spark, store2)
+    assert s2.triples.row_count() > 0
+    assert [m["version"] for m in s2.triples.snapshots()] == [s2.triples._current_version()]
+    some = s2.entities.read().select("entity_id").first()["entity_id"]
+    assert len(s2.entities.files_for(point={"entity_id": some})) < len(s2.entities.files_for())
 
 
 def test_ivf_topk_matches_brute_on_probed_cells(spark):
