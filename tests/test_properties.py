@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the driver-side kernels the flagship
+pipeline's correctness rests on.  The reference leans on deterministic fixture
+round-trips (PlumeDriverFixture.scala); these go further: randomized inputs
+probe the exact invariants each kernel promises, so a regression shows up as a
+minimal counterexample instead of a silent drift.
+
+Spark-comparing tests keep max_examples tiny (each example is a Spark job);
+pure-Python/numpy kernels get hundreds of examples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from plume_spark.functions.textnorm import norm_py
+from plume_spark.functions.xxh64 import xxh64_ngrams
+from plume_spark.operators.components import _driver_union_find
+from plume_spark.operators.linking import JACCARD_TAU, driver_link_kernel, gram_array
+
+# ---------------------------------------------------------------- union-find
+
+
+def _bfs_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label: dict[int, int] = {}
+    for start in adj:
+        if start in label:
+            continue
+        seen, queue = {start}, [start]
+        while queue:
+            x = queue.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    queue.append(y)
+        lo = min(seen)
+        for x in seen:
+            label[x] = lo
+    return label
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)), max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_union_find_matches_bfs(edges):
+    """_driver_union_find's contract: component label == min member, exactly
+    the partition a naive BFS produces, for any edge multiset (self-loops and
+    duplicates included)."""
+    assert dict(_driver_union_find(edges)) == _bfs_components(edges)
+
+
+# ------------------------------------------------------------------ textnorm
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_norm_py_idempotent_and_closed(s):
+    """norm_py is a projection: applying it twice changes nothing, the output
+    alphabet is closed over [a-z0-9 ] (single spaces, no edge spaces), and no
+    legal-entity suffix survives as a standalone word."""
+    once = norm_py(s)
+    assert norm_py(once) == once
+    assert set(once) <= set("abcdefghijklmnopqrstuvwxyz0123456789 ")
+    assert "  " not in once and once == once.strip()
+    assert not ({"corp", "inc", "ltd", "llc", "co"} & set(once.split()))
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=60, unique=True))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_norm_py_matches_norm_col(spark, strings):
+    """The Python twin and the Spark column expression are the same function —
+    the linking kernel normalizes driver-side with norm_py, the distributed
+    path with norm_col; any divergence splits one entity into two."""
+    from plume_spark.functions.textnorm import norm_col
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r["s"]: r["n"] for r in df.select("s", norm_col("s").alias("n")).collect()}
+    assert got == {s: norm_py(s) for s in strings}
+
+
+# ----------------------------------------------------------------- xxh64
+
+
+_ascii_word = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(st.lists(_ascii_word, min_size=1, max_size=40, unique=True))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_xxh64_ngrams_matches_spark(spark, strings):
+    """The numpy XXH64 kernel must be BIT-identical to Spark's xxhash64 over
+    every string's distinct 3-grams (same NUL padding) — the driver linking
+    kernel's equality with the distributed path rests on this."""
+    # the kernel returns uint64 bit patterns; Spark's xxhash64 is signed int64
+    kernel = {
+        s: set(int(h) for h in hs.astype(np.int64))
+        for s, hs in zip(strings, xxh64_ngrams(strings))
+    }
+    df = spark.createDataFrame([(s,) for s in strings], "norm string")
+    rows = (
+        df.select("norm", F.explode(gram_array("norm")).alias("g"))
+        .select("norm", F.xxhash64("g").alias("h"))
+        .collect()
+    )
+    jvm: dict[str, set[int]] = {s: set() for s in strings}
+    for r in rows:
+        jvm[r["norm"]].add(int(r["h"]))
+    assert kernel == jvm
+
+
+# ------------------------------------------------------------- link kernel
+
+
+def _grams(s: str) -> set[str]:
+    p = s + "\x00" * (3 - len(s)) if len(s) < 3 else s
+    return {p[i : i + 3] for i in range(len(p) - 2)}
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef012 ", min_size=1, max_size=20),
+        min_size=0,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_driver_link_kernel_precision_and_determinism(norms):
+    """Every pair the kernel emits is (a) canonical-ordered, (b) between two
+    input norms, (c) exactly verified: 3-gram Jaccard >= tau recomputed
+    naively.  LSH may MISS pairs (recall < 1 by design) but must never emit a
+    false positive, and the output is deterministic."""
+    pairs = driver_link_kernel(norms)
+    assert pairs == driver_link_kernel(norms)
+    seen = set()
+    for a, b in pairs:
+        assert a < b and a in norms and b in norms
+        assert (a, b) not in seen
+        seen.add((a, b))
+        ga, gb = _grams(a), _grams(b)
+        j = len(ga & gb) / len(ga | gb)
+        assert j >= JACCARD_TAU, (a, b, j)
