@@ -175,6 +175,22 @@ def _q_j7r(spark, sf):
     return traversal.reachable(edges, seeds)
 
 
+def _q_g1_pagerank(spark, sf):
+    """Iterative PageRank (3 synchronous iterations) over the 3-level DAG —
+    one shuffle per iteration, partial-agg contributions (skew-safe)."""
+    from plume_spark.operators.pagerank import pagerank
+
+    return pagerank(graft.dag_edges(spark, sf))
+
+
+def _q_diag_hot_keys(spark, sf):
+    """Skew diagnostic: heaviest join-key values with row share — what sizes
+    n_salts / flags AQE-skew candidates before a big join."""
+    from plume_spark.operators.skew import hot_keys
+
+    return hot_keys(graft.load(spark, sf, "events"), "user_id", top_n=20)
+
+
 def _q_j4(spark, sf):
     c = graft.load(spark, sf, "customer")
     keys = c.sparkSession.createDataFrame([(k,) for k in LOOKUP_NAMES], ["c_name"])
@@ -518,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_map_merge": _q_a4_map_merge,
         "stream_ordered_release": _q_stream_ordered_release,
         "mm_frame_sample": _q_mm_frame_sample,
+        "g1_pagerank": _q_g1_pagerank,
+        "diag_hot_keys": _q_diag_hot_keys,
     }
 
 
@@ -1037,4 +1055,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id,
                CAST(unnest(range(0, CASE WHEN n_chars * 10 > 1 THEN n_chars * 10 ELSE 1 END, 1000)) AS BIGINT) AS frame_ts_ms
         FROM documents WHERE doc_id % 3 = 2"""
+    # unrolled-CTE PageRank generated by the operator module itself, so the
+    # iteration count / damping can never drift between the two engines
+    from plume_spark.operators.pagerank import pagerank_oracle_sql
+
+    sql["g1_pagerank"] = pagerank_oracle_sql(
+        """SELECT o_custkey AS subj, 1000000 + o_orderkey AS obj FROM orders
+           UNION ALL
+           SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
+    )
+    sql["diag_hot_keys"] = """
+        SELECT CAST(user_id AS VARCHAR) AS key_value,
+               COUNT(*) AS cnt,
+               CAST(ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 6) AS DOUBLE) AS share
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+        ORDER BY cnt DESC, key_value LIMIT 20"""
     return sql

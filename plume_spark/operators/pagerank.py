@@ -1,0 +1,92 @@
+"""Fixed-iteration PageRank over an edge list — the second iterative graph
+algorithm beside connected components (operators/components.py), recasting the
+reference's iterative whole-graph passes (PlumeForkJoinParallelCpgPass's
+part-loop shape) as repeated hash joins.
+
+Scale shape (the same playbook as the CC loop):
+* one shuffle per iteration: contributions group by destination with a SUM —
+  an algebraic aggregate, so hot entities (the north rule's skew case) arrive
+  at the reducer as map-side-combined partials, never raw rows;
+* the rank table is node-sized, orders of magnitude smaller than the edge
+  list; the per-iteration join against edges shuffles ranks, not edges, once
+  the edge list is hash-partitioned on ``src`` (AQE re-uses the exchange);
+* ``localCheckpoint`` every ``checkpoint_every`` iterations truncates the
+  lineage so plan size stays O(1) in the iteration count.
+
+Variant: the "no dangling redistribution" formulation (a sink node's rank
+leaks), which keeps every iteration a pure local join+agg — no global sum
+barrier per step — and makes the result exactly expressible as unrolled SQL
+CTEs for the DuckDB oracle.  Ranks are returned in parts-per-million so the
+cross-engine comparison is integer-exact despite float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    n_iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Returns (node, rank_ppm): PageRank after ``n_iters`` synchronous
+    iterations from a uniform start of 1.0, scaled to parts-per-million
+    (BIGINT) for engine-exact comparison."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("r", F.lit(1.0))
+    for i in range(n_iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node", F.round(F.col("r") * 1_000_000).cast("long").alias("rank_ppm")
+    )
+
+
+def pagerank_oracle_sql(edges_sql: str, n_iters: int = 3, damping: float = 0.85) -> str:
+    """The exact computation above as unrolled SQL CTEs (DuckDB-runnable):
+    ``edges_sql`` must select columns (subj, obj).  Kept next to the operator
+    so the iteration count / damping can never drift between engines."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 AS r FROM nodes)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, {1.0 - d} + {d} * COALESCE(SUM(r{i}.r / deg.out_deg), 0) AS r "
+            f"FROM nodes n LEFT JOIN e ON e.dst = n.node "
+            f"LEFT JOIN deg ON deg.src = e.src "
+            f"LEFT JOIN r{i} ON r{i}.node = e.src GROUP BY n.node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_ppm FROM r{n_iters}"
+    )

@@ -58,3 +58,26 @@ def salted_join(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)).cast("int")
     )
     return left_salted.join(right_rep, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def hot_keys(df: DataFrame, key: str, top_n: int = 20, min_count: int = 2) -> DataFrame:
+    """Skew diagnostic: the ``top_n`` heaviest values of ``key`` with their
+    row counts and share of the table — what an operator inspects BEFORE
+    choosing n_salts (R ~ ceil(max_key_rows / target_partition_rows)) or
+    deciding a key needs AQE skew splitting.
+
+    Cost shape: one partial-aggregated groupBy (hot keys arrive at the
+    reducer as pre-combined partials) + a broadcast scalar for the total —
+    safe to run on the full 100 TB fact table.
+
+    Columns: key_value (string), cnt, share (fraction of all rows, 6dp).
+    """
+    total = df.count()
+    return (
+        df.groupBy(F.col(key).cast("string").alias("key_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn("share", F.round(F.col("cnt") / F.lit(total), 6))
+        .orderBy(F.col("cnt").desc(), F.col("key_value"))
+        .limit(top_n)
+    )

@@ -384,3 +384,30 @@ def test_no_rowwise_python_in_plans(spark, docs):
     for df in [result.triples, dedup.minhash_dedup(docs), text.fingerprint(docs)]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_pagerank_hand_computed(spark):
+    """Two synchronous iterations on 1->{2,3}, 2->3, from uniform 1.0 at
+    damping 0.85 (values derived by hand):
+      iter1: r = (0.15, 0.575, 1.425); iter2: r = (0.15, 0.21375, 0.7025)."""
+    from plume_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["subj", "obj"])
+    got = {r["node"]: r["rank_ppm"] for r in pagerank(edges, n_iters=2).collect()}
+    assert got == {1: 150000, 2: 213750, 3: 702500}
+    # duplicate edges must not change the result (distinct edge semantics)
+    dup = edges.unionByName(edges)
+    assert {
+        r["node"]: r["rank_ppm"] for r in pagerank(dup, n_iters=2).collect()
+    } == got
+
+
+def test_hot_keys_diagnostic(spark):
+    from plume_spark.operators.skew import hot_keys
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, ["k"]
+    )
+    rows = hot_keys(df, "k", top_n=5).collect()
+    assert [(r["key_value"], r["cnt"]) for r in rows] == [("a", 6), ("b", 3)]
+    assert rows[0]["share"] == 0.6  # 6/10, exact at 6dp
