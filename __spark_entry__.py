@@ -191,6 +191,40 @@ def _q_diag_hot_keys(spark, sf):
     return hot_keys(graft.load(spark, sf, "events"), "user_id", top_n=20)
 
 
+def _q_t1_asof_join(spark, sf):
+    """As-of join (union-window composition, one shuffle): each purchase gets
+    the latest same-user view at or before it."""
+    from plume_spark.operators.temporal import asof_join
+
+    ev = graft.load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, views, key="user_id", right_vals=("event_id",), prefix="matched_"
+    )
+    return out.select(
+        "event_id", "user_id", F.col("matched_event_id").alias("matched_view")
+    )
+
+
+def _q_t2_range_join(spark, sf):
+    """Bounded range join (bucketed, linear candidates): per purchase, the
+    count of same-user clicks in the preceding hour."""
+    from plume_spark.operators.temporal import range_join_count
+
+    ev = graft.load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join_count(purchases, clicks, key="user_id", before_s=3600, after_s=0)
+    return out.select("event_id", "user_id", "n_in_range")
+
+
 def _q_j4(spark, sf):
     c = graft.load(spark, sf, "customer")
     keys = c.sparkSession.createDataFrame([(k,) for k in LOOKUP_NAMES], ["c_name"])
@@ -536,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frame_sample,
         "g1_pagerank": _q_g1_pagerank,
         "diag_hot_keys": _q_diag_hot_keys,
+        "t1_asof_join": _q_t1_asof_join,
+        "t2_range_join": _q_t2_range_join,
     }
 
 
@@ -1070,4 +1106,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 6) AS DOUBLE) AS share
         FROM events GROUP BY user_id HAVING COUNT(*) >= 2
         ORDER BY cnt DESC, key_value LIMIT 20"""
+    # ties at one right timestamp are collapsed to MAX(event_id) on BOTH
+    # engines — as-of over tied timestamps is otherwise nondeterministic
+    sql["t1_asof_join"] = """
+        WITH r AS (SELECT user_id, ts, MAX(event_id) AS mv FROM events
+                   WHERE event_type = 'view' GROUP BY user_id, ts),
+             l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, r.mv AS matched_view
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+    sql["t2_range_join"] = """
+        SELECT l.event_id, l.user_id,
+               (SELECT COUNT(*) FROM events r
+                WHERE r.event_type = 'click' AND r.user_id = l.user_id
+                  AND r.ts >= l.ts - INTERVAL 3600 SECOND AND r.ts <= l.ts) AS n_in_range
+        FROM events l WHERE l.event_type = 'purchase'"""
     return sql

@@ -1,0 +1,143 @@
+"""Temporal joins Spark has no native operator for: as-of join and bounded
+range join, both built as compositions of shuffle-friendly primitives (the
+brief's custom-operator tier (a): existing DataFrame ops, no UDF).
+
+As-of join — "for each left row, the most recent right row at or before its
+timestamp, per key" — is THE standard enrichment join for event streams
+(attach the latest profile/state/quote to each fact).  The naive formulation
+is an inequality join (quadratic: every left row against every earlier right
+row); the scale form here is the union-window trick:
+
+    tag rows, union both sides, one window per key ordered by (ts, tag),
+    last(value, ignorenulls) carries the latest right value forward
+
+— exactly ONE shuffle on the key, linear work, and skew behaves like any
+window (a hot key is one partition's sort, not a quadratic blowup).
+
+Range join — "count/collect right rows within [ts-lo, ts+hi] of each left
+row" — buckets time into epochs of the window width: each right row lands in
+one bucket, each left row probes the (bounded, ~2-3) buckets its window can
+overlap, equi-join on (key, bucket), then exact-filter.  Candidate volume is
+|right| * O(1) instead of |left| * |right| per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_vals: tuple[str, ...] = ("event_id",),
+    strict: bool = False,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``prefix<val>`` columns from the
+    latest right row with right_ts <= left_ts (``strict``: <) on the same key.
+    Unmatched left rows keep nulls (LEFT semantics).
+
+    Right rows are first collapsed to one per (key, right_ts) keeping the
+    max-value row — ties at one timestamp are otherwise nondeterministic in
+    ANY engine's as-of (DuckDB included), and cross-engine comparison needs a
+    total function.  Left-side duplicate timestamps are fine as-is (each left
+    row reads only carried-forward right values, never other left rows).
+    """
+    # sort tags: the side that must be visible at equal ts sorts FIRST
+    # (non-strict: rights first => a right at ts==left_ts is carried into the
+    #  left row; strict: lefts first => it is not)
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    # the whole left row rides along as a native struct (no serialization, no
+    # type loss); the right side carries a typed null of the same struct
+    lrow_type = left.select(F.struct(*left.columns).alias("_lrow")).schema["_lrow"].dataType
+    r1 = (
+        right.groupBy(F.col(key).alias(key), F.col(right_ts).alias("_ts"))
+        .agg(*[F.max(v).alias(f"_rv_{v}") for v in right_vals])
+        .withColumn("_tag", F.lit(right_tag))
+        .withColumn("_lrow", F.lit(None).cast(lrow_type))
+    )
+    l1 = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_tag).alias("_tag"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_rv_{v}")
+            for v in right_vals
+        ],
+    ).select(key, "_ts", "_tag", *[f"_rv_{v}" for v in right_vals], "_lrow")
+    both = l1.unionByName(r1.select(l1.columns))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "_tag",
+        "_lrow",
+        *[F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_m_{v}") for v in right_vals],
+    ).filter(F.col("_tag") == left_tag)
+    return carried.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m_{v}").alias(f"{prefix}{v}") for v in right_vals],
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before_s: int = 3600,
+    after_s: int = 0,
+    count_col: str = "n_in_range",
+) -> DataFrame:
+    """For each left row, the count of right rows on the same key with
+    right_ts in [left_ts - before_s, left_ts + after_s] (inclusive, exact
+    timestamp precision).
+
+    Bucketing is on epoch SECONDS (conservative: a bucket candidate set is a
+    superset of the exact window) while the final filter compares raw
+    timestamps, so sub-second precision is never lost.  Bucket width = the
+    full window span, so each left row probes at most 2-3 consecutive buckets
+    — candidate volume stays linear.  Left rows must be distinct (carry a
+    primary key): counts are grouped by the whole left row.
+    """
+    span = max(before_s + after_s, 1)
+    r1 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_rts"),
+        (F.unix_timestamp(right_ts) / span).cast("long").alias("_bucket"),
+    )
+    lo_ts = F.col(left_ts) - F.expr(f"INTERVAL {int(before_s)} SECOND")
+    hi_ts = F.col(left_ts) + F.expr(f"INTERVAL {int(after_s)} SECOND")
+    lsec = F.unix_timestamp(F.col(left_ts))
+    l1 = (
+        left.withColumn("_lo", lo_ts)
+        .withColumn("_hi", hi_ts)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    ((lsec - before_s) / span).cast("long"),
+                    ((lsec + after_s) / span).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = l1.join(r1, [key, "_bucket"]).filter(
+        (F.col("_rts") >= F.col("_lo")) & (F.col("_rts") <= F.col("_hi"))
+    )
+    counts = joined.groupBy(*[F.col(c) for c in left.columns]).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+    # LEFT semantics: rows whose window is empty still appear, with 0
+    return (
+        left.join(counts, left.columns, "left")
+        .withColumn(count_col, F.coalesce(count_col, F.lit(0)))
+    )

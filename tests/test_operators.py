@@ -411,3 +411,57 @@ def test_hot_keys_diagnostic(spark):
     rows = hot_keys(df, "k", top_n=5).collect()
     assert [(r["key_value"], r["cnt"]) for r in rows] == [("a", 6), ("b", 3)]
     assert rows[0]["share"] == 0.6  # 6/10, exact at 6dp
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built case: latest-at-or-before match, strict vs non-strict at an
+    equal timestamp, unmatched-left nulls, and tie collapse to max value."""
+    import datetime as dt
+
+    from plume_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", t(10)), (2, "u1", t(20)), (3, "u2", t(5))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), 100), ("u1", t(10), 101), ("u1", t(15), 102), ("u3", t(1), 103)],
+        ["user_id", "ts", "event_id"],
+    )
+    got = {
+        r["event_id"]: r["m_event_id"]
+        for r in asof_join(left, right, key="user_id", prefix="m_").collect()
+    }
+    # non-strict: ts==10 matches the tied pair collapsed to MAX=101
+    assert got == {1: 101, 2: 102, 3: None}
+    strict = {
+        r["event_id"]: r["m_event_id"]
+        for r in asof_join(left, right, key="user_id", prefix="m_", strict=True).collect()
+    }
+    assert strict == {1: None, 2: 102, 3: None}
+
+
+def test_range_join_count_semantics(spark):
+    import datetime as dt
+
+    from plume_spark.operators.temporal import range_join_count
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s, 500000)  # sub-second offsets
+    left = spark.createDataFrame(
+        [(1, "u1", t(30)), (2, "u2", t(30))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u1", t(25)), ("u1", t(30)), ("u1", dt.datetime(2024, 1, 1, 0, 0, 20, 499999)),
+         ("u2", t(50))],
+        ["user_id", "ts"],
+    )
+    got = {
+        r["event_id"]: r["n_in_range"]
+        for r in range_join_count(
+            left, right, key="user_id", before_s=10, after_s=0
+        ).collect()
+    }
+    # u1@30.5: window [20.5, 30.5] -> 25.5 and 30.5 in, 20.499999 out (exact
+    # sub-second boundary); u2@30.5: later right row only -> 0 (LEFT row kept)
+    assert got == {1: 2, 2: 0}
