@@ -168,14 +168,17 @@ def lsh_candidate_pairs(
         .select("doc_id", "band", F.col("rows.minhash").alias("band_sig"))
     )
     if max_bucket_size:
-        bands = bands.localCheckpoint(eager=True)  # consumed by cap-count AND join
-        ok = (
-            bands.groupBy("band", "band_sig")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .select("band", "band_sig")
+        # One window pass: count per (band, band_sig) partition, drop rows of
+        # oversized buckets.  Replaces a checkpoint + groupBy-count + semi-join
+        # (three stages and an executor-disk materialization) with a single
+        # shuffle whose hash partitioning the a/b self-join below then reuses.
+        wb = Window.partitionBy("band", "band_sig")
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+            .cache()  # consumed twice by the a/b self-join
         )
-        bands = bands.join(ok, ["band", "band_sig"], "left_semi")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     banded = (
