@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plume_spark import graft
-from plume_spark.operators import dedup, similarity, text, traversal
+from plume_spark.operators import corpus, dedup, similarity, text, traversal
 from plume_spark.operators.extraction import extract_changelog, split_changelog
 from plume_spark.pipeline import run_pipeline, triples_with_names
 
@@ -518,6 +518,31 @@ def _q_stream_ordered_release(spark, sf):
     return spark.read.parquet(outdir).select("conv_id", "turn_idx", "role", "text")
 
 
+def _q_corpus_decon(spark, sf):
+    # benchmark decontamination: train-doc 5-gram overlap vs a deterministic
+    # held-out subset (doc_id % EVAL_MOD == 0 plays the eval suite)
+    d = graft.load(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % corpus.EVAL_MOD != 0)
+    ev = d.filter(F.col("doc_id") % corpus.EVAL_MOD == 0)
+    return corpus.ngram_overlap(train, ev, n=5)
+
+
+def _q_corpus_boilerplate(spark, sf):
+    return corpus.boilerplate_score(graft.load(spark, sf, "documents"), n=3, min_docs=10)
+
+
+def _q_corpus_split(spark, sf):
+    return corpus.train_val_split(graft.load(spark, sf, "documents"), val_pct=10)
+
+
+def _q_corpus_tfidf(spark, sf):
+    return corpus.tfidf_topk(graft.load(spark, sf, "documents"), k=3)
+
+
+def _q_corpus_pack(spark, sf):
+    return corpus.pack_chunks(graft.load(spark, sf, "documents"), budget=256, n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_turn_ordering": _q_w1,
@@ -572,6 +597,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_hot_keys": _q_diag_hot_keys,
         "t1_asof_join": _q_t1_asof_join,
         "t2_range_join": _q_t2_range_join,
+        "corpus_decon_overlap": _q_corpus_decon,
+        "corpus_boilerplate": _q_corpus_boilerplate,
+        "corpus_train_val_split": _q_corpus_split,
+        "corpus_tfidf_topk": _q_corpus_tfidf,
+        "corpus_pack_chunks": _q_corpus_pack,
     }
 
 
@@ -1121,4 +1151,82 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.event_type = 'click' AND r.user_id = l.user_id
                   AND r.ts >= l.ts - INTERVAL 3600 SECOND AND r.ts <= l.ts) AS n_in_range
         FROM events l WHERE l.event_type = 'purchase'"""
+    # word-5-gram shingle CTE over documents (decontamination unit)
+    gram5 = """
+        WITH g AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                 toks[i+3] || ' ' || toks[i+4] AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                WHERE len(string_split(text, ' ')) >= 5),
+               (SELECT unnest(range(1, 2001)) AS i)
+          WHERE i <= len(toks) - 4)
+    """
+    sql["corpus_decon_overlap"] = (
+        gram5
+        + f""",
+        eg AS (SELECT DISTINCT tok FROM g WHERE doc_id % {corpus.EVAL_MOD} = 0),
+        tg AS (SELECT doc_id, tok FROM g WHERE doc_id % {corpus.EVAL_MOD} <> 0),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+        hits AS (SELECT doc_id, count(*) AS n_overlap
+                 FROM tg JOIN eg USING (tok) GROUP BY doc_id)
+        SELECT h.doc_id, s.n_grams, h.n_overlap,
+               round(h.n_overlap / CAST(s.n_grams AS DOUBLE), 6) AS overlap_frac
+        FROM hits h JOIN sizes s USING (doc_id)"""
+    )
+    sql["corpus_boilerplate"] = """
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+               (SELECT unnest(range(1, 2001)) AS i)
+          WHERE i <= len(toks) - 2),
+        common AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM sh GROUP BY tok)
+                   WHERE c >= 10),
+        marked AS (SELECT doc_id, count(*) AS n_common
+                   FROM sh JOIN common USING (tok) GROUP BY doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        SELECT s.doc_id, s.n_shingles,
+               coalesce(m.n_common, 0) AS n_common,
+               round(coalesce(m.n_common, 0) / CAST(s.n_shingles AS DOUBLE), 6)
+                 AS boilerplate_frac
+        FROM sizes s LEFT JOIN marked m USING (doc_id)"""
+    _poly_docid = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''), c -> ascii(c))), "
+        f"(a, b) -> (a * {dedup.POLY_MUL} + b) % {dedup.MINHASH_P})"
+    )
+    sql["corpus_train_val_split"] = f"""
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+        FROM (SELECT doc_id, CAST({_poly_docid} % 100 AS INT) AS bucket
+              FROM documents)"""
+    sql["corpus_tfidf_topk"] = """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+               WHERE tok <> '' GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df_docs FROM tf GROUP BY tok),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT doc_id, tok, tf, df_docs,
+               round(tf * ln(n_docs / CAST(df_docs AS DOUBLE)), 6) AS score
+        FROM (SELECT tf.*, dfreq.df_docs, n.n_docs,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, df_docs ASC, tok ASC) AS rnk
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        WHERE rnk <= 3"""
+    sql["corpus_pack_chunks"] = """
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                 len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+          FROM documents),
+        offs AS (
+          SELECT doc_id, shard,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tok_offset
+          FROM base)
+        SELECT doc_id, shard, tok_offset,
+               CAST(tok_offset // 256 AS INT) AS chunk FROM offs"""
     return sql

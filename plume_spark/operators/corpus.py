@@ -1,0 +1,209 @@
+"""Training-corpus preparation operators: decontamination, boilerplate
+scoring, deterministic train/val splitting, TF-IDF term ranking, and
+concat-then-chunk sequence packing.
+
+These extend the reference's dedup/idempotency semantics (duplicate identity
+IDriver.scala:91-98; unchanged-input skip CHANGELOG.md:694) to the operations
+a large-scale LLM training-data pipeline runs between raw documents and
+tokenized batches.  Everything is pure DataFrame algebra — whole-stage
+codegen, no Python in the loop — and every operator has an exact ANSI-SQL
+oracle in __spark_entry__.py.
+
+Scale notes:
+* decontamination joins on the shingle string; Spark's shuffle hashes the
+  key, and the eval side (benchmarks are small) is broadcast — the classic
+  "13-gram against the eval suite" shape where only the corpus side is big.
+* boilerplate scoring is two partial aggregates over the shingle stream —
+  no self-join, no window over raw text.
+* the split and packing operators are pure projections / one window over
+  fixed-cardinality shards: no global sort, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from plume_spark.operators.dedup import MINHASH_P, POLY_MUL, shingles
+
+# deterministic eval-subset selector for the contract decontamination query:
+# every 29th doc plays the "benchmark" held-out set.
+EVAL_MOD = 29
+
+
+def poly_hash(col: Column) -> Column:
+    """Portable polynomial rolling hash fold(acc*131 + ascii(c)) mod P over a
+    string column — same function as dedup.portable_token_ids, reusable on
+    any column.  Reproducible in ANSI SQL (the oracle recomputes it), fully
+    distributed (a projection), and stable across runs — the property that
+    makes hash-based splits resume-idempotent (north rule)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: (acc * POLY_MUL + c) % MINHASH_P
+    )
+
+
+def ngram_overlap(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per train doc, how many of its distinct
+    word n-grams also appear anywhere in the eval set.
+
+    Returns (doc_id, n_grams, n_overlap, overlap_frac) for train docs with at
+    least one overlapping gram.  The eval gram set is deduplicated across
+    docs and broadcast (eval suites are dictionary-sized); the corpus side
+    streams through one shuffle-free semi-ish inner join + one aggregate."""
+    tg = shingles(train, n=n, text=text, id_col=id_col)
+    eval_grams = shingles(evalset, n=n, text=text, id_col=id_col).select("tok").distinct()
+    sizes = tg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(eval_grams), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
+        )
+    )
+
+
+def boilerplate_score(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc boilerplate density: the fraction of a doc's distinct word
+    n-grams that are corpus-common (appear in >= min_docs distinct docs).
+
+    (doc_id, n_shingles, n_common, boilerplate_frac).  Two partial hash
+    aggregates over the shingle stream (per-gram doc counts; per-doc tallies)
+    joined back — the common-gram table is tiny relative to the corpus and
+    broadcast.  The web-scale use: drop or down-weight docs whose text is
+    mostly navigation chrome / license headers duplicated across sites."""
+    sh = shingles(df, n=n, text=text, id_col=id_col)
+    common = (
+        sh.groupBy("tok")
+        .agg(F.count("*").alias("n_docs"))  # sh is distinct per (doc, tok)
+        .filter(F.col("n_docs") >= min_docs)
+        .select("tok")
+    )
+    marked = sh.join(F.broadcast(common), "tok", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_common")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        sizes.join(marked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
+
+
+def train_val_split(
+    df: DataFrame, val_pct: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic hash split: bucket = poly_hash(str(doc_id)) mod 100;
+    buckets < val_pct go to 'val', the rest to 'train'.
+
+    (doc_id, bucket, split).  A pure projection: the same doc lands in the
+    same split on every run, on any cluster size, with no coordination —
+    the split survives resume/retry by construction.  At 100 TB this is the
+    only splitter that needs neither a shuffle nor a materialized
+    assignment table."""
+    bucket = F.pmod(poly_hash(F.col(id_col).cast("string")), F.lit(100)).cast("int")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k distinctive terms per doc by TF-IDF.
+
+    (doc_id, tok, tf, df_docs, score) with score = round(tf * ln(N/df), 6).
+    Ranking is integer-only (tf desc, df asc, tok asc) so row selection is
+    bit-deterministic across engines; the float score is display-rounded.
+    Both aggregates are partial (map-side combined); the per-token document
+    frequency table is derived from the tf table itself — one pass over the
+    token stream feeds both."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df_docs",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 6).alias("score"),
+        )
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid end-to-end in
+    deterministic order within hash shards and cut into fixed token budgets.
+
+    (doc_id, shard, tok_offset, chunk) where chunk = tok_offset // budget —
+    the training-batch a doc's first token lands in.  One window per shard
+    (cumulative token counts, rows-unbounded-preceding); shard count is
+    fixed, so the plan is identical at every cluster size and the windows
+    run fully parallel.  This is the streaming concat+chunk tokenizer-feed
+    shape (exact greedy bin packing needs a sequential scan; offset-chunking
+    is the form production pipelines actually use)."""
+    n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda t: t != ""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id",
+        "shard",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_offset"),
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget).cast("int").alias("chunk"),
+    )

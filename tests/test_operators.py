@@ -465,3 +465,47 @@ def test_range_join_count_semantics(spark):
     # u1@30.5: window [20.5, 30.5] -> 25.5 and 30.5 in, 20.499999 out (exact
     # sub-second boundary); u2@30.5: later right row only -> 0 (LEFT row kept)
     assert got == {1: 2, 2: 0}
+
+
+def test_corpus_operators(spark, docs):
+    from plume_spark.operators import corpus
+
+    # decontamination: doc 3 is the "eval set"; docs 0 and 1 share most
+    # 5-grams with it (0 is an exact dup, 1 a near-dup), 2 and 4 share none
+    ev = docs.filter(F.col("doc_id") == 3)
+    train = docs.filter(F.col("doc_id") != 3)
+    ov = {r["doc_id"]: r for r in corpus.ngram_overlap(train, ev, n=5).collect()}
+    assert ov[0]["overlap_frac"] == 1.0  # exact duplicate of the eval doc
+    assert 0 < ov[1]["overlap_frac"] < 1.0
+    assert 2 not in ov and 4 not in ov
+
+    # boilerplate: docs 0 and 3 are exact dups -> every gram of theirs is in
+    # >= 2 docs; doc 1 shares all but its tail gram; 2/4 share none
+    bp = {r["doc_id"]: r for r in corpus.boilerplate_score(docs, n=3, min_docs=2).collect()}
+    assert bp[0]["boilerplate_frac"] == 1.0 and bp[3]["boilerplate_frac"] == 1.0
+    assert 0 < bp[1]["boilerplate_frac"] < 1.0
+    assert bp[2]["n_common"] == 0 and bp[4]["n_common"] == 0
+
+    # split: deterministic, total partition, same assignment on recompute
+    s1 = {r["doc_id"]: r["split"] for r in corpus.train_val_split(docs).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in corpus.train_val_split(docs).collect()}
+    assert s1 == s2 and set(s1) == {0, 1, 2, 3, 4}
+    assert set(s1.values()) <= {"train", "val"}
+
+    # tfidf: rare terms outrank corpus-wide ones; k rows per doc max
+    tk = corpus.tfidf_topk(docs, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in tk:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    assert all(r["df_docs"] < 5 for r in by_doc[2])  # distinctive, not 'the'
+
+    # packing: offsets are contiguous prefix sums within each shard
+    pk = sorted(corpus.pack_chunks(docs, budget=10, n_shards=2).collect(),
+                key=lambda r: (r["shard"], r["doc_id"]))
+    tok_counts = {r["doc_id"]: len(r["text"].split()) for r in docs.collect()}
+    seen: dict[int, int] = {}
+    for r in pk:
+        assert r["tok_offset"] == seen.get(r["shard"], 0)
+        assert r["chunk"] == r["tok_offset"] // 10
+        seen[r["shard"]] = r["tok_offset"] + tok_counts[r["doc_id"]]
