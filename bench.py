@@ -45,6 +45,8 @@ HEADLINE = [
     "j7_two_hop",
     "a1_group_sum",
     "w1_turn_ordering",
+    "corpus_decon_overlap",
+    "corpus_tfidf_topk",
 ]
 
 
@@ -125,14 +127,26 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         _warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     n_triples = 0
+    flagship_samples: list[float] = []
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        if name in ("kg_build_triples", "kg_build_scaled"):
-            n_triples = df.count()  # count doubles as the action
-        else:
-            _run_query(df)
-        timings[name] = round(time.time() - t0, 3)
+        # The flagship headline is min-of-2 (JMH measurement-iteration
+        # analog): this box shows 2-4x intermittent external CPU steal
+        # (BENCH.md), and min over repeats of a deterministic job is the
+        # unbiased estimator under additive noise.  Other queries stay
+        # single-shot to keep the suite under ~2 min.
+        reps = 2 if name == "kg_build_triples" else 1
+        for _ in range(reps):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            if name in ("kg_build_triples", "kg_build_scaled"):
+                n_triples = df.count()  # count doubles as the action
+            else:
+                _run_query(df)
+            dt = round(time.time() - t0, 3)
+            if name == "kg_build_triples":
+                flagship_samples.append(dt)
+                spark.catalog.clearCache()  # cold pipeline each sample
+            timings[name] = min(timings.get(name, dt), dt)
     total = round(sum(timings.values()), 3)
     e2e = timings.get("kg_build_triples", total)
     return {
@@ -145,6 +159,7 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / e2e, 1) if e2e else 0.0,
         "total_sec": total,
+        **({"flagship_samples_sec": flagship_samples} if len(flagship_samples) > 1 else {}),
     }
 
 
