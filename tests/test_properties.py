@@ -156,3 +156,45 @@ def test_driver_link_kernel_precision_and_determinism(norms):
         ga, gb = _grams(a), _grams(b)
         j = len(ga & gb) / len(ga | gb)
         assert j >= JACCARD_TAU, (a, b, j)
+
+
+# ---------------------------------------------------------------- corpus ops
+
+_doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+
+@given(_doc_texts, st.integers(1, 20), st.integers(1, 4))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_chunks_matches_python_reference(spark, texts, budget, n_shards):
+    """pack_chunks offsets == a sequential per-shard prefix-sum reference."""
+    from plume_spark.operators import corpus
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["shard"], r["tok_offset"], r["chunk"])
+        for r in corpus.pack_chunks(docs, budget=budget, n_shards=n_shards).collect()
+    }
+    offsets: dict[int, int] = {}
+    for doc_id, text in sorted(enumerate(texts)):
+        shard = doc_id % n_shards
+        off = offsets.get(shard, 0)
+        assert got[doc_id] == (shard, off, off // budget)
+        offsets[shard] = off + len([t for t in text.split(" ") if t])
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_train_val_split_total_and_deterministic(spark, ids):
+    """Every doc gets exactly one stable split label; bucket in [0, 100)."""
+    from plume_spark.operators import corpus
+
+    docs = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+    rows = corpus.train_val_split(docs, val_pct=25).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    for r in rows:
+        assert 0 <= r["bucket"] < 100
+        assert r["split"] == ("val" if r["bucket"] < 25 else "train")
+    again = {r["doc_id"]: r["bucket"] for r in corpus.train_val_split(docs, val_pct=25).collect()}
+    assert again == {r["doc_id"]: r["bucket"] for r in rows}
