@@ -1216,9 +1216,10 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY tf DESC, df_docs ASC, tok ASC) AS rnk
               FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
         WHERE rnk <= 3"""
-    sql["corpus_pack_chunks"] = """
+    sql["corpus_pack_chunks"] = f"""
         WITH base AS (
-          SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          SELECT doc_id,
+                 CAST({_poly_docid} % 8 AS INT) AS shard,
                  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
           FROM documents),
         offs AS (
@@ -1228,5 +1229,5 @@ def oracle_sql() -> dict[str, str]:
                    AS tok_offset
           FROM base)
         SELECT doc_id, shard, tok_offset,
-               CAST(tok_offset // 256 AS INT) AS chunk FROM offs"""
+               CAST(tok_offset // 256 AS BIGINT) AS chunk FROM offs"""
     return sql

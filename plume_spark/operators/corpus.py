@@ -15,35 +15,21 @@ Scale notes:
   "13-gram against the eval suite" shape where only the corpus side is big.
 * boilerplate scoring is two partial aggregates over the shingle stream —
   no self-join, no window over raw text.
-* the split and packing operators are pure projections / one window over
-  fixed-cardinality shards: no global sort, no driver collect.
+* the split and packing operators are pure projections / one window per
+  hash shard: no global sort, no driver collect (shard count is the
+  packing parallelism knob — see pack_chunks).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from plume_spark.operators.dedup import MINHASH_P, POLY_MUL, shingles
+from plume_spark.operators.dedup import poly_hash, shingles
 
 # deterministic eval-subset selector for the contract decontamination query:
 # every 29th doc plays the "benchmark" held-out set.
 EVAL_MOD = 29
-
-
-def poly_hash(col: Column) -> Column:
-    """Portable polynomial rolling hash fold(acc*131 + ascii(c)) mod P over a
-    string column — same function as dedup.portable_token_ids, reusable on
-    any column.  Reproducible in ANSI SQL (the oracle recomputes it), fully
-    distributed (a projection), and stable across runs — the property that
-    makes hash-based splits resume-idempotent (north rule)."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
-    )
-    return F.aggregate(
-        chars, F.lit(0).cast("long"), lambda acc, c: (acc * POLY_MUL + c) % MINHASH_P
-    )
 
 
 def ngram_overlap(
@@ -91,8 +77,9 @@ def boilerplate_score(
 
     (doc_id, n_shingles, n_common, boilerplate_frac).  Two partial hash
     aggregates over the shingle stream (per-gram doc counts; per-doc tallies)
-    joined back — the common-gram table is tiny relative to the corpus and
-    broadcast.  The web-scale use: drop or down-weight docs whose text is
+    joined back.  The common-gram table scales with shared boilerplate, so
+    its semi-join is left to the planner (broadcast only when it fits).
+    The web-scale use: drop or down-weight docs whose text is
     mostly navigation chrome / license headers duplicated across sites."""
     sh = shingles(df, n=n, text=text, id_col=id_col)
     common = (
@@ -101,7 +88,7 @@ def boilerplate_score(
         .filter(F.col("n_docs") >= min_docs)
         .select("tok")
     )
-    marked = sh.join(F.broadcast(common), "tok", "left_semi").groupBy("doc_id").agg(
+    marked = sh.join(common, "tok", "left_semi").groupBy("doc_id").agg(
         F.count("*").alias("n_common")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -159,7 +146,7 @@ def tfidf_topk(
         F.col("tf").desc(), F.col("df_docs").asc(), F.col("tok").asc()
     )
     return (
-        tf.join(F.broadcast(dfreq), "tok")
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -185,15 +172,22 @@ def pack_chunks(
 
     (doc_id, shard, tok_offset, chunk) where chunk = tok_offset // budget —
     the training-batch a doc's first token lands in.  One window per shard
-    (cumulative token counts, rows-unbounded-preceding); shard count is
-    fixed, so the plan is identical at every cluster size and the windows
-    run fully parallel.  This is the streaming concat+chunk tokenizer-feed
-    shape (exact greedy bin packing needs a sequential scan; offset-chunking
-    is the form production pipelines actually use)."""
+    (cumulative token counts, rows-unbounded-preceding).  A window partition
+    executes in a single task, so ``n_shards`` is the parallelism AND the
+    per-task memory bound: it must be sized so one shard's rows fit a task
+    (tokens_total / n_shards ~ a few hundred MB of (id, count) rows) — the
+    default 8 suits the test corpus, a 100 TB run wants thousands.  Shards
+    are keyed by the portable string hash, so non-numeric doc ids are fine
+    and the assignment is resume-stable.  This is the streaming
+    concat+chunk tokenizer-feed shape (exact greedy bin packing needs a
+    sequential scan; offset-chunking is the form production pipelines
+    actually use)."""
     n_tok = F.size(F.filter(F.split(F.col(text), " "), lambda t: t != ""))
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(poly_hash(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
         n_tok.alias("n_tokens"),
     )
     w = (
@@ -205,5 +199,4 @@ def pack_chunks(
         "doc_id",
         "shard",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_offset"),
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget).cast("int").alias("chunk"),
-    )
+    ).withColumn("chunk", F.floor(F.col("tok_offset") / budget).cast("long"))

@@ -98,23 +98,27 @@ def hashed_token_ids(tok_df: DataFrame) -> DataFrame:
     return tok_df.withColumn("tok_id", F.pmod(F.xxhash64("tok"), F.lit(MINHASH_P)))
 
 
-def portable_token_ids(tok_df: DataFrame) -> DataFrame:
-    """Oracle-path token ids: polynomial rolling hash over character codes,
-    ``fold(acc*131 + ascii(c)) mod P`` — reproducible in ANSI SQL (DuckDB
-    ``list_reduce``), and still fully distributed: a pure projection, no
-    dictionary, no global sort (the previous rank-dictionary needed a
-    single-partition Window).  xxhash64 stays the default (native, faster);
-    this path exists so the correctness oracle can recompute identical ids."""
+def poly_hash(col):
+    """Portable polynomial rolling hash ``fold(acc*131 + ascii(c)) mod P``
+    over a string column — reproducible in ANSI SQL (DuckDB ``list_reduce``),
+    fully distributed (a pure projection), and stable across runs.  The
+    single implementation behind portable token ids, the train/val splitter,
+    and any other oracle-checkable hashing."""
     chars = F.transform(
-        F.sequence(F.lit(1), F.length("tok")),
-        lambda i: F.ascii(F.col("tok").substr(i, F.lit(1))).cast("long"),
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
     )
-    poly = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * POLY_MUL + c) % MINHASH_P,
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: (acc * POLY_MUL + c) % MINHASH_P
     )
-    return tok_df.withColumn("tok_id", poly)
+
+
+def portable_token_ids(tok_df: DataFrame) -> DataFrame:
+    """Oracle-path token ids via poly_hash — no dictionary, no global sort
+    (the previous rank-dictionary needed a single-partition Window).
+    xxhash64 stays the default (native, faster); this path exists so the
+    correctness oracle can recompute identical ids."""
+    return tok_df.withColumn("tok_id", poly_hash(F.col("tok")))
 
 
 def minhash_signatures(tok_ids: DataFrame, k: int = MINHASH_K) -> DataFrame:

@@ -176,9 +176,15 @@ def test_pack_chunks_matches_python_reference(spark, texts, budget, n_shards):
         r["doc_id"]: (r["shard"], r["tok_offset"], r["chunk"])
         for r in corpus.pack_chunks(docs, budget=budget, n_shards=n_shards).collect()
     }
+    def _poly(v: str) -> int:
+        acc = 0
+        for ch in v:
+            acc = (acc * 131 + ord(ch)) % 2147483647
+        return acc
+
     offsets: dict[int, int] = {}
     for doc_id, text in sorted(enumerate(texts)):
-        shard = doc_id % n_shards
+        shard = _poly(str(doc_id)) % n_shards
         off = offsets.get(shard, 0)
         assert got[doc_id] == (shard, off, off // budget)
         offsets[shard] = off + len([t for t in text.split(" ") if t])
