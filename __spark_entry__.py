@@ -518,6 +518,19 @@ def _q_stream_ordered_release(spark, sf):
     return spark.read.parquet(outdir).select("conv_id", "turn_idx", "role", "text")
 
 
+def _q_dedup_incr(spark, sf):
+    # incremental near-dup: docs with doc_id % 4 == 0 arrive as the "new
+    # crawl batch"; the rest are the pre-built index.  Output = pairs
+    # touching a new doc, identical to a full re-run's pairs for those docs.
+    d = graft.load(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 4 != 0)
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    osigs, otoks = dedup.minhash_state(old, portable_ids=True)
+    nsigs, ntoks = dedup.minhash_state(new, portable_ids=True)
+    out = dedup.incremental_neardup(osigs, otoks, nsigs, ntoks)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _q_corpus_decon(spark, sf):
     # benchmark decontamination: train-doc 5-gram overlap vs a deterministic
     # held-out subset (doc_id % EVAL_MOD == 0 plays the eval suite)
@@ -597,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_hot_keys": _q_diag_hot_keys,
         "t1_asof_join": _q_t1_asof_join,
         "t2_range_join": _q_t2_range_join,
+        "dedup_minhash_incr": _q_dedup_incr,
         "corpus_decon_overlap": _q_corpus_decon,
         "corpus_boilerplate": _q_corpus_boilerplate,
         "corpus_train_val_split": _q_corpus_split,
@@ -1151,6 +1165,59 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.event_type = 'click' AND r.user_id = l.user_id
                   AND r.ts >= l.ts - INTERVAL 3600 SECOND AND r.ts <= l.ts) AS n_in_range
         FROM events l WHERE l.event_type = 'purchase'"""
+    # incremental near-dup: identical banding/cap/star pipeline to
+    # dedup_minhash_lsh, restricted to pairs touching the "new batch"
+    # (doc_id % 4 == 0) and verified over token-id sets (the engine's
+    # persisted-index substrate — raw shingle strings are not stored).
+    sql["dedup_minhash_incr"] = (
+        _SHINGLE_CTE
+        + f""",
+        params(h, a, b) AS (VALUES {_MINHASH_PARAMS}),
+        sig AS (
+          SELECT doc_id, h, min((a * tok_id + b) % 2147483647) AS minhash
+          FROM ids CROSS JOIN params GROUP BY doc_id, h),
+        bands AS (
+          SELECT doc_id, h // {dedup.BAND_ROWS} AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+          FROM sig GROUP BY doc_id, h // {dedup.BAND_ROWS}),
+        okb AS (
+          SELECT band, band_sig FROM bands
+          GROUP BY band, band_sig HAVING count(*) <= {dedup.MAX_BUCKET_SIZE}),
+        bandsok AS (
+          SELECT bands.* FROM bands
+          JOIN okb ON bands.band = okb.band AND bands.band_sig = okb.band_sig),
+        cand0 AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandsok a JOIN bandsok b ON a.band = b.band AND a.band_sig = b.band_sig
+          WHERE a.doc_id < b.doc_id),
+        idd AS (SELECT DISTINCT doc_id, tok_id FROM ids),
+        gsets AS (
+          SELECT doc_id, string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY tok_id) AS gset
+          FROM idd GROUP BY doc_id),
+        starg AS (
+          SELECT gset, min(doc_id) AS mn FROM gsets
+          GROUP BY gset HAVING count(*) > 1),
+        star AS (
+          SELECT g.mn AS doc_a, s.doc_id AS doc_b
+          FROM gsets s JOIN starg g ON s.gset = g.gset AND s.doc_id <> g.mn),
+        cand AS (
+          SELECT doc_a, doc_b FROM
+            (SELECT doc_a, doc_b FROM cand0 UNION SELECT doc_a, doc_b FROM star)
+          WHERE doc_a % 4 = 0 OR doc_b % 4 = 0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM idd GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN idd ta ON ta.doc_id = c.doc_a
+          JOIN idd tb ON tb.doc_id = c.doc_b AND tb.tok_id = ta.tok_id
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b,
+               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {dedup.JACCARD_TAU}"""
+    )
     # word-5-gram shingle CTE over documents (decontamination unit)
     gram5 = """
         WITH g AS (

@@ -149,22 +149,11 @@ def minhash_signatures(tok_ids: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame,
-    band_rows: int = BAND_ROWS,
-    max_bucket_size: int = MAX_BUCKET_SIZE,
-    tok_ids: DataFrame | None = None,
+def _capped_bands(
+    sig: DataFrame, band_rows: int, max_bucket_size: int
 ) -> DataFrame:
-    """Band docs by consecutive minhash pairs; equi-join bands for candidates.
-
-    Buckets holding more than ``max_bucket_size`` docs are DROPPED — an
-    oversized bucket (the normal case for boilerplate text in web-scale
-    dedup) is non-discriminative and makes the self-join quadratic; the cap
-    bounds candidate volume to cap * n_docs * n_bands / 2.  Exact duplicates
-    lost that way are rescued via ``tok_ids``: identical token-id sets are
-    J=1 duplicates by definition, and the set is an equivalence key, so star
-    edges (min member -> others) reconstruct their components at linear cost
-    (same mechanism as operators/linking.py candidate_pairs)."""
+    """(doc_id, band, band_sig) with oversized buckets dropped — the shared
+    banding step of the full and incremental candidate generators."""
     bands = (
         sig.withColumn("band", (F.col("h") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
@@ -183,6 +172,26 @@ def lsh_candidate_pairs(
             .drop("_bsz")
             .cache()  # consumed twice by the a/b self-join
         )
+    return bands
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    tok_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Band docs by consecutive minhash pairs; equi-join bands for candidates.
+
+    Buckets holding more than ``max_bucket_size`` docs are DROPPED — an
+    oversized bucket (the normal case for boilerplate text in web-scale
+    dedup) is non-discriminative and makes the self-join quadratic; the cap
+    bounds candidate volume to cap * n_docs * n_bands / 2.  Exact duplicates
+    lost that way are rescued via ``tok_ids``: identical token-id sets are
+    J=1 duplicates by definition, and the set is an equivalence key, so star
+    edges (min member -> others) reconstruct their components at linear cost
+    (same mechanism as operators/linking.py candidate_pairs)."""
+    bands = _capped_bands(sig, band_rows, max_bucket_size)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     banded = (
@@ -254,6 +263,80 @@ def minhash_dedup(
         minhash_signatures(ids), max_bucket_size=max_bucket_size, tok_ids=ids
     )
     return jaccard_verify(pairs, tok, tau)
+
+
+def minhash_state(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    portable_ids: bool = False, unit: str = "shingle3",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable dedup index of a corpus batch: (signatures, token ids).
+
+    sigs = (doc_id, h, minhash), tok_ids = (doc_id, tok_id).  Compute once
+    per ingested batch, store both (e.g. SnapshotTable append), and feed
+    incremental_neardup on the next batch — the expensive part (shingling +
+    hashing the raw text) then runs over the delta only, which is how
+    web-crawl dedup actually operates: each new crawl dedups against an
+    ever-growing index, never re-reading the 100 TB corpus."""
+    tok = shingles(df, 3, text, id_col) if unit == "shingle3" else tokens(df, text, id_col)
+    id_fn = portable_token_ids if portable_ids else hashed_token_ids
+    ids = id_fn(tok).select("doc_id", "tok_id")
+    return minhash_signatures(ids), ids
+
+
+def incremental_neardup(
+    index_sigs: DataFrame | None,
+    index_toks: DataFrame | None,
+    new_sigs: DataFrame,
+    new_toks: DataFrame,
+    tau: float = JACCARD_TAU,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup pairs that touch at least one NEW doc, identical to what a
+    full re-run over index ∪ new would emit for those pairs.
+
+    Candidate generation probes only the new docs' band rows against the
+    combined band table (an asymmetric join: |new| × bucket, not |all|²),
+    the bucket cap is computed over the union exactly as a full run would,
+    and the exact-duplicate star rescue keeps only edges touching new docs.
+    Verification is exact Jaccard over token-id sets.  With no index (both
+    None) this degenerates to the full pipeline over ``new`` alone — the
+    property the equivalence test pins down."""
+    sigs = new_sigs if index_sigs is None else index_sigs.unionByName(new_sigs)
+    toks = new_toks if index_toks is None else index_toks.unionByName(new_toks)
+    new_ids = new_toks.select("doc_id").distinct()
+    bands = _capped_bands(sigs, band_rows, max_bucket_size)
+    probe = bands.join(new_ids, "doc_id", "left_semi")
+    a = probe.select(F.col("doc_id").alias("da"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("db"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
+        )
+    )
+    if max_bucket_size:
+        gsets = toks.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("tok_id")).alias("gset")
+        )
+        star = (
+            gsets.groupBy("gset")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+            .filter(F.size("members") > 1)
+            .select(
+                F.element_at("members", 1).alias("doc_a"),
+                F.explode(F.slice("members", 2, F.size("members"))).alias("doc_b"),
+            )
+        )
+        new_a = new_ids.withColumnRenamed("doc_id", "doc_a")
+        new_b = new_ids.withColumnRenamed("doc_id", "doc_b")
+        star_touch = star.join(new_a, "doc_a", "left_semi").unionByName(
+            star.join(new_b, "doc_b", "left_semi")
+        )
+        cand = cand.unionByName(star_touch)
+    pairs = cand.distinct()
+    return jaccard_verify(pairs, toks.withColumnRenamed("tok_id", "tok"), tau)
 
 
 def embedding_neardup(

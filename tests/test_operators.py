@@ -509,3 +509,27 @@ def test_corpus_operators(spark, docs):
         assert r["tok_offset"] == seen.get(r["shard"], 0)
         assert r["chunk"] == r["tok_offset"] // 10
         seen[r["shard"]] = r["tok_offset"] + tok_counts[r["doc_id"]]
+
+
+def test_incremental_neardup_equals_full(spark):
+    """Index old docs once, dedup the new batch against it: pairs touching a
+    new doc must be identical (incl. jaccard) to a full re-run's, and no
+    old-old pair may appear."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = d.filter(F.col("doc_id") % 4 != 0)
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    osigs, otoks = dedup.minhash_state(old)
+    nsigs, ntoks = dedup.minhash_state(new)
+    incr = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in dedup.incremental_neardup(osigs, otoks, nsigs, ntoks).collect()
+    }
+    asigs, atoks = dedup.minhash_state(d)
+    full = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in dedup.incremental_neardup(None, None, asigs, atoks).collect()
+    }
+    expected = {p: j for p, j in full.items() if p[0] % 4 == 0 or p[1] % 4 == 0}
+    assert incr == expected
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in incr)
+    assert expected, "fixture must produce at least one cross-batch pair"
