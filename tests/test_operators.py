@@ -533,3 +533,37 @@ def test_incremental_neardup_equals_full(spark):
     assert incr == expected
     assert all(a % 4 == 0 or b % 4 == 0 for a, b in incr)
     assert expected, "fixture must produce at least one cross-batch pair"
+
+
+def test_incremental_neardup_via_persisted_index(spark, tmp_path):
+    """The two-run shape: run 1 indexes a batch into SnapshotTables; run 2
+    reloads the index from disk and dedups a new batch against it — output
+    equals the in-memory incremental path."""
+    from plume_spark.store.catalog import SnapshotTable
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = d.filter(F.col("doc_id") % 4 != 0)
+    new = d.filter(F.col("doc_id") % 4 == 0)
+
+    osigs, otoks = dedup.minhash_state(old)
+    sig_t = SnapshotTable(spark, str(tmp_path / "sigs"))
+    tok_t = SnapshotTable(spark, str(tmp_path / "toks"))
+    sig_t.append(osigs)
+    tok_t.append(otoks)
+
+    nsigs, ntoks = dedup.minhash_state(new)
+    from_disk = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in dedup.incremental_neardup(
+            sig_t.read(), tok_t.read(), nsigs, ntoks
+        ).collect()
+    }
+    in_memory = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in dedup.incremental_neardup(osigs, otoks, nsigs, ntoks).collect()
+    }
+    assert from_disk == in_memory and from_disk
+    # run 3: fold the new batch into the index (idempotent on doc_id re-land)
+    sig_t.merge_insert(nsigs, keys=["doc_id", "h"])
+    tok_t.merge_insert(ntoks, keys=["doc_id", "tok_id"])
+    assert sig_t.read().select("doc_id").distinct().count() == d.count()
