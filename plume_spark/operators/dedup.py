@@ -301,9 +301,18 @@ def incremental_neardup(
     and the exact-duplicate star rescue keeps only edges touching new docs.
     Verification is exact Jaccard over token-id sets.  With no index (both
     None) this degenerates to the full pipeline over ``new`` alone — the
-    property the equivalence test pins down."""
-    sigs = new_sigs if index_sigs is None else index_sigs.unionByName(new_sigs)
-    toks = new_toks if index_toks is None else index_toks.unionByName(new_toks)
+    property the equivalence test pins down.
+
+    Replay-safe: the index∪new union is key-deduplicated, so a batch that
+    was already folded into the index (a crash between the index MERGE and
+    the stream checkpoint commit) re-lands as exact-duplicate rows and
+    changes nothing — the guarantee streaming.stream_dedup builds on."""
+    sigs = new_sigs if index_sigs is None else (
+        index_sigs.unionByName(new_sigs).dropDuplicates(["doc_id", "h"])
+    )
+    toks = new_toks if index_toks is None else (
+        index_toks.unionByName(new_toks).dropDuplicates(["doc_id", "tok_id"])
+    )
     new_ids = new_toks.select("doc_id").distinct()
     bands = _capped_bands(sigs, band_rows, max_bucket_size)
     probe = bands.join(new_ids, "doc_id", "left_semi")

@@ -3,11 +3,19 @@ from plume_spark.streaming.ingest import (
     stream_build,
     stream_turn_counts,
 )
+from plume_spark.streaming.dedup import (
+    DedupIndex,
+    read_document_stream,
+    stream_dedup,
+)
 from plume_spark.streaming.stateful import ordered_turn_release
 
 __all__ = [
     "read_transcript_stream",
     "stream_build",
     "stream_turn_counts",
+    "DedupIndex",
+    "read_document_stream",
+    "stream_dedup",
     "ordered_turn_release",
 ]

@@ -1,0 +1,140 @@
+"""Continuous near-duplicate detection: a document stream dedups against an
+ever-growing MinHash index.
+
+The batch identity this builds on (operators/dedup.py): every near-dup pair
+touches the later-arriving doc's batch, so emitting incremental_neardup
+pairs per epoch and folding each batch into the index afterwards yields, in
+aggregate, EXACTLY the pair set a full re-run over everything would produce
+— no pair is missed and none is invented (tested against the full path in
+tests/test_streaming.py).
+
+Exactly-once without a transactional sink, same recipe as ingest.py:
+* the file source's checkpoint gives at-least-once epoch replay;
+* all three sinks land via MERGE on natural keys — pairs on
+  (doc_a, doc_b), signatures on (doc_id, h), token ids on
+  (doc_id, tok_id) — so a replayed epoch is a no-op;
+* a crash BETWEEN the index MERGE and the checkpoint commit replays the
+  epoch with its batch already folded in; incremental_neardup key-dedups
+  the index∪batch union, so the recomputed pairs are identical.
+
+Per-epoch work is pure DataFrame plans (signatures, the asymmetric band
+probe, MERGEs); the foreachBatch closure iterates no rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from plume_spark.operators.dedup import (
+    JACCARD_TAU,
+    incremental_neardup,
+    minhash_state,
+)
+from plume_spark.store.catalog import SnapshotTable
+
+# authoritative shape of the documents table (TESTDATA.md); streaming file
+# sources require a declared schema
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(DOCUMENTS).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+class DedupIndex:
+    """The persisted dedup state: signatures + token ids + emitted pairs,
+    three snapshot tables under one directory."""
+
+    SIGS = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("minhash", T.LongType()),
+        ]
+    )
+    TOKS = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("tok_id", T.LongType())]
+    )
+    PAIRS = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.sigs = SnapshotTable(spark, f"{path}/sigs", schema=self.SIGS)
+        self.toks = SnapshotTable(spark, f"{path}/toks", schema=self.TOKS)
+        self.pairs = SnapshotTable(spark, f"{path}/pairs", schema=self.PAIRS)
+
+    def has_index(self) -> bool:
+        return self.sigs.row_count() > 0
+
+
+def stream_dedup(
+    doc_stream: DataFrame,
+    index: DedupIndex,
+    checkpoint_dir: str,
+    tau: float = JACCARD_TAU,
+) -> dict:
+    """Drain all available document files (Trigger.AvailableNow), emitting
+    near-dup pairs per epoch and growing the index.
+
+    Returns {"epochs", "docs_in", "pairs"} counters.  A long-lived deployment
+    runs the identical query with a processing-time trigger; the index tables
+    are ordinary snapshot tables, so the batch incremental_neardup path (or a
+    compaction / expiry pass) can interleave with the stream."""
+    progress = {"epochs": 0, "docs_in": 0}
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        nsigs, ntoks = minhash_state(batch_df)
+        # consumed twice each (pair probe + index fold): materialize once
+        nsigs, ntoks = nsigs.localCheckpoint(eager=True), ntoks.localCheckpoint(eager=True)
+        old_sigs = index.sigs.read() if index.has_index() else None
+        old_toks = index.toks.read() if old_sigs is not None else None
+        new_pairs = incremental_neardup(old_sigs, old_toks, nsigs, ntoks, tau=tau)
+        index.pairs.merge_insert(
+            new_pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
+            keys=["doc_a", "doc_b"],
+        )
+        index.sigs.merge_insert(nsigs, keys=["doc_id", "h"])
+        index.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"])
+        progress["epochs"] += 1
+        progress["docs_in"] += n
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress["pairs"] = index.pairs.row_count()
+    # epoch MERGEs append small filesets; bin-pack them so scan cost tracks
+    # data volume, not epoch count (same policy as ingest.stream_build)
+    if progress["epochs"]:
+        for t in (index.sigs, index.toks, index.pairs):
+            t.compact(min_files=1)
+    return progress

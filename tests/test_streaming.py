@@ -264,3 +264,42 @@ def test_stateful_release_survives_restart(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(out_dir).select(*cols).collect())) == sorted(
         map(tuple, t.select(*cols).collect())
     )
+
+
+def test_stream_dedup_converges_to_full_run(spark, tmp_path):
+    """Continuous dedup: docs arriving across epochs emit, in aggregate,
+    exactly the pair set a full batch run over everything produces; a
+    re-drain with no new files changes nothing."""
+    from plume_spark.operators import dedup
+    from plume_spark.streaming import DedupIndex, read_document_stream, stream_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inbox, ckpt = str(tmp_path / "docs-in"), str(tmp_path / "docs-ck")
+    _land(d.filter("doc_id % 3 = 0"), inbox)
+    _land(d.filter("doc_id % 3 = 1"), inbox)
+    _land(d.filter("doc_id % 3 = 2"), inbox)
+
+    idx = DedupIndex(spark, str(tmp_path / "dedup-index"))
+    stats = stream_dedup(
+        read_document_stream(spark, inbox, max_files_per_trigger=1), idx, ckpt
+    )
+    assert stats["epochs"] >= 3 and stats["docs_in"] == d.count()
+
+    streamed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in idx.pairs.read().collect()
+    }
+    asigs, atoks = dedup.minhash_state(d)
+    full = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in dedup.incremental_neardup(None, None, asigs, atoks).collect()
+    }
+    assert streamed == full and full, "stream pair set must equal the full run"
+    # index covers every doc exactly once
+    assert idx.sigs.read().select("doc_id").distinct().count() == d.count()
+
+    # re-drain: no new files -> no epochs, nothing changes
+    before = idx.pairs.row_count()
+    stats2 = stream_dedup(
+        read_document_stream(spark, inbox, max_files_per_trigger=1), idx, ckpt
+    )
+    assert stats2["epochs"] == 0 and idx.pairs.row_count() == before
