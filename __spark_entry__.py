@@ -183,6 +183,19 @@ def _q_g1_pagerank(spark, sf):
     return pagerank(graft.dag_edges(spark, sf))
 
 
+def _q_g2_components(spark, sf):
+    """Distributed connected components (driver kernel disabled) over the
+    DAG with part edges thinned to obj % 23 == 0 — a multi-component graph
+    (~300 components at sf0.01) whose label paths run 8+ hops, so the gate
+    exercises the real iterative salted label-propagation loop."""
+    from plume_spark.operators.components import connected_components
+
+    e = graft.dag_edges(spark, sf).filter(
+        (F.col("obj") < graft.NODE_PART_OFFSET) | (F.col("obj") % 23 == 0)
+    )
+    return connected_components(e, src="subj", dst="obj", driver_max_edges=0)
+
+
 def _q_diag_hot_keys(spark, sf):
     """Skew diagnostic: heaviest join-key values with row share — what sizes
     n_salts / flags AQE-skew candidates before a big join."""
@@ -607,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ordered_release": _q_stream_ordered_release,
         "mm_frame_sample": _q_mm_frame_sample,
         "g1_pagerank": _q_g1_pagerank,
+        "g2_components": _q_g2_components,
         "diag_hot_keys": _q_diag_hot_keys,
         "t1_asof_join": _q_t1_asof_join,
         "t2_range_join": _q_t2_range_join,
@@ -1143,6 +1157,15 @@ def oracle_sql() -> dict[str, str]:
         """SELECT o_custkey AS subj, 1000000 + o_orderkey AS obj FROM orders
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
+    )
+    from plume_spark.operators.components import components_oracle_sql
+
+    sql["g2_components"] = components_oracle_sql(
+        """SELECT o_custkey AS subj, 1000000 + o_orderkey AS obj FROM orders
+           UNION ALL
+           SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem
+           WHERE (2000000 + l_partkey) % 23 = 0""",
+        n_iters=20,
     )
     sql["diag_hot_keys"] = """
         SELECT CAST(user_id AS VARCHAR) AS key_value,

@@ -170,3 +170,39 @@ def connected_components(
             "raise max_iters (diameter of the similarity graph exceeds it)"
         )
     return labels.withColumnRenamed("label", "component")
+
+
+def components_oracle_sql(edges_sql: str, n_iters: int = 20) -> str:
+    """ANSI-SQL equivalent of the distributed label-propagation loop,
+    unrolled to ``n_iters`` fixed iterations (the same pattern as
+    pagerank_oracle_sql): l_{i+1}(v) = least(l_i(v), min over neighbors).
+
+    Correct whenever the true convergence depth <= n_iters — overshoot is
+    safe because the update is idempotent at fixpoint — while the engine
+    side iterates to convergence and raises if max_iters exhausts, so a
+    too-deep graph fails loudly on the Spark side rather than silently
+    diverging from the oracle.  ``edges_sql`` must yield directed (subj,
+    obj); symmetrization happens here, mirroring the operator."""
+    # MATERIALIZED: each level references its predecessor twice; inlined
+    # (DuckDB's default) that doubles the expression tree per level -> 2^n
+    # scans and fd exhaustion.  Materialization makes the unroll linear,
+    # which is also exactly the engine-side execution shape (one concrete
+    # label table per iteration).
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT subj AS a, obj AS b FROM e UNION SELECT obj, subj FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+          SELECT n.node, least(n.label, coalesce(m.mn, n.label)) AS label
+          FROM l{i} n LEFT JOIN (
+            SELECT s.b AS node, min(l.label) AS mn
+            FROM sym s JOIN l{i} l ON l.node = s.a GROUP BY s.b) m USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, label AS component FROM l{n_iters}"
+    )
