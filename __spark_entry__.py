@@ -183,6 +183,22 @@ def _q_g1_pagerank(spark, sf):
     return pagerank(graft.dag_edges(spark, sf))
 
 
+def _q_w3_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity closes a session): the
+    standard event-stream operator the reference's per-conversation grouping
+    approximates.  One window pass: flag gaps > threshold, running-sum the
+    flags into session ordinals — no self-join, no UDF."""
+    e = graft.load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = ts_s - F.lag(ts_s).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_sess").over(w).cast("long"))
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
 def _q_g2_components(spark, sf):
     """Distributed connected components (driver kernel disabled) over the
     DAG with part edges thinned to obj % 23 == 0 — a multi-component graph
@@ -621,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frame_sample,
         "g1_pagerank": _q_g1_pagerank,
         "g2_components": _q_g2_components,
+        "w3_sessionize": _q_w3_sessionize,
         "diag_hot_keys": _q_diag_hot_keys,
         "t1_asof_join": _q_t1_asof_join,
         "t2_range_join": _q_t2_range_join,
@@ -1158,6 +1175,20 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
     )
+    sql["w3_sessionize"] = """
+        SELECT event_id, user_id,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_idx
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT event_id, user_id, ts,
+                   epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS gap
+            FROM events))"""
     from plume_spark.operators.components import components_oracle_sql
 
     sql["g2_components"] = components_oracle_sql(

@@ -112,6 +112,26 @@ def _stream(args) -> int:
     return 0
 
 
+def _dedup_stream(args) -> int:
+    """Continuous near-dup detection (streaming/dedup.py): drain document
+    files in --input against the persisted MinHash index at --index,
+    exactly-once per file across invocations."""
+    import os
+
+    from plume_spark.session import get_spark
+    from plume_spark.streaming import DedupIndex, read_document_stream, stream_dedup
+
+    spark = get_spark(app_name="plume-dedup-stream", master=args.master)
+    idx = DedupIndex(spark, args.index)
+    stream = read_document_stream(
+        spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+    )
+    ckpt = args.checkpoint or os.path.join(args.index, "_stream_checkpoint")
+    stats = stream_dedup(stream, idx, ckpt, tau=args.tau)
+    print(json.dumps(stats))
+    return 0
+
+
 def _maintain(args) -> int:
     """Table maintenance (Iceberg rewrite_data_files / expire_snapshots
     analogs): compact every store table to its layout-natural fileset and,
@@ -190,6 +210,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tau", type=float, default=None)
     s.add_argument("--max-files-per-trigger", type=int, default=None)
     s.set_defaults(fn=_stream)
+
+    ds = sub.add_parser("dedup-stream", help="continuous near-dup detection over arriving document files")
+    ds.add_argument("--input", required=True, help="directory watched for document parquet files")
+    ds.add_argument("--index", required=True, help="dedup index directory (sigs/toks/pairs snapshot tables)")
+    ds.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: <index>/_stream_checkpoint)")
+    ds.add_argument("--tau", type=float, default=0.5)
+    ds.add_argument("--max-files-per-trigger", type=int, default=None)
+    ds.set_defaults(fn=_dedup_stream)
 
     m = sub.add_parser("maintain", help="compact tables; optionally expire old snapshots")
     m.add_argument("--store", required=True)

@@ -130,6 +130,19 @@ def test_cli_build_query_export(spark, tmp_path):
     assert [m["version"] for m in s2.triples.snapshots()] == [s2.triples._current_version()]
     some = s2.entities.read().select("entity_id").first()["entity_id"]
     assert len(s2.entities.files_for(point={"entity_id": some})) < len(s2.entities.files_for())
+    # dedup-stream subcommand: drain documents against a fresh index, then a
+    # second invocation with no new files is a no-op
+    docs_in = str(tmp_path / "docs-in")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").coalesce(1).write.parquet(docs_in)
+    idx_dir = str(tmp_path / "dedup-idx")
+    assert main(["dedup-stream", "--input", docs_in, "--index", idx_dir]) == 0
+    from plume_spark.streaming import DedupIndex
+
+    idx = DedupIndex(spark, idx_dir)
+    n_pairs = idx.pairs.row_count()
+    assert n_pairs > 0
+    assert main(["dedup-stream", "--input", docs_in, "--index", idx_dir]) == 0
+    assert idx.pairs.row_count() == n_pairs
 
 
 def test_ivf_topk_matches_brute_on_probed_cells(spark):
