@@ -303,16 +303,20 @@ def incremental_neardup(
     None) this degenerates to the full pipeline over ``new`` alone — the
     property the equivalence test pins down.
 
-    Replay-safe: the index∪new union is key-deduplicated, so a batch that
-    was already folded into the index (a crash between the index MERGE and
-    the stream checkpoint commit) re-lands as exact-duplicate rows and
-    changes nothing — the guarantee streaming.stream_dedup builds on."""
-    sigs = new_sigs if index_sigs is None else (
-        index_sigs.unionByName(new_sigs).dropDuplicates(["doc_id", "h"])
-    )
-    toks = new_toks if index_toks is None else (
-        index_toks.unionByName(new_toks).dropDuplicates(["doc_id", "tok_id"])
-    )
+    PRECONDITION: index and new must be doc-disjoint per table (no doc_id on
+    both sides of either union).  The function does NOT dedupe the unions —
+    doing so would shuffle the whole index every call.  stream_dedup
+    enforces the precondition with narrow anti-joins before calling (its
+    crash-replay path re-lands already-folded docs; filtering them out there
+    costs O(batch), not O(corpus)).
+
+    The combined token set is consumed several times downstream (star
+    rescue, per-doc sizes, both sides of the verify join): it is cached
+    here; callers running many invocations in one session should clear or
+    unpersist between rounds (stream_dedup does)."""
+    sigs = new_sigs if index_sigs is None else index_sigs.unionByName(new_sigs)
+    toks = new_toks if index_toks is None else index_toks.unionByName(new_toks)
+    toks = toks.cache()
     new_ids = new_toks.select("doc_id").distinct()
     bands = _capped_bands(sigs, band_rows, max_bucket_size)
     probe = bands.join(new_ids, "doc_id", "left_semi")

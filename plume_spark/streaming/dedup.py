@@ -4,18 +4,31 @@ ever-growing MinHash index.
 The batch identity this builds on (operators/dedup.py): every near-dup pair
 touches the later-arriving doc's batch, so emitting incremental_neardup
 pairs per epoch and folding each batch into the index afterwards yields, in
-aggregate, EXACTLY the pair set a full re-run over everything would produce
-— no pair is missed and none is invented (tested against the full path in
-tests/test_streaming.py).
+aggregate, the pair set a full re-run over everything would produce (tested
+against the full path in tests/test_streaming.py).  One deliberate
+divergence: the band-bucket cap is evaluated ONLINE.  A pair emitted while
+its bucket was still small is retained even if later arrivals push that
+bucket past MAX_BUCKET_SIZE (a full offline re-run would drop the whole
+bucket).  For boilerplate-skewed corpora the online semantics keep strictly
+MORE verified-exact pairs than the offline approximation; exactly-once
+delivery is unaffected.
+
+Doc identity contract: doc_id is a CONTENT-STABLE identifier — re-crawled
+or updated text must arrive under a new doc_id (content-addressed ids, the
+same philosophy as the KG pipeline's deterministic hash IDs).  A re-landed
+doc_id is treated as a duplicate delivery of the same content and skipped
+(first write wins, per table), which is exactly what makes crash replay a
+no-op; it is NOT an update mechanism.
 
 Exactly-once without a transactional sink, same recipe as ingest.py:
 * the file source's checkpoint gives at-least-once epoch replay;
 * all three sinks land via MERGE on natural keys — pairs on
   (doc_a, doc_b), signatures on (doc_id, h), token ids on
   (doc_id, tok_id) — so a replayed epoch is a no-op;
-* a crash BETWEEN the index MERGE and the checkpoint commit replays the
-  epoch with its batch already folded in; incremental_neardup key-dedups
-  the index∪batch union, so the recomputed pairs are identical.
+* a crash BETWEEN an index MERGE and the checkpoint commit replays the
+  epoch with its batch partially or fully folded in; the per-table
+  anti-join in _epoch drops exactly the already-folded rows, so the
+  replay completes the fold and re-derives identical pairs.
 
 Per-epoch work is pure DataFrame plans (signatures, the asymmetric band
 probe, MERGEs); the foreachBatch closure iterates no rows.
@@ -53,10 +66,9 @@ def read_document_stream(
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    reader = spark.readStream.schema(DOCUMENTS).format(fmt)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path)
+    from plume_spark.streaming.ingest import file_stream
+
+    return file_stream(spark, path, DOCUMENTS, fmt, max_files_per_trigger)
 
 
 class DedupIndex:
@@ -99,17 +111,36 @@ def stream_dedup(
     """Drain all available document files (Trigger.AvailableNow), emitting
     near-dup pairs per epoch and growing the index.
 
-    Returns {"epochs", "docs_in", "pairs"} counters.  A long-lived deployment
-    runs the identical query with a processing-time trigger; the index tables
-    are ordinary snapshot tables, so the batch incremental_neardup path (or a
-    compaction / expiry pass) can interleave with the stream."""
+    Returns {"epochs", "docs_in", "pairs_new", "pairs_total"} counters
+    (pairs_new is this drain's delta; pairs_total includes prior runs).  A
+    long-lived deployment runs the identical query with a processing-time
+    trigger; the index tables are ordinary snapshot tables, so the batch
+    incremental_neardup path (or a compaction / expiry pass) can interleave
+    with the stream."""
     progress = {"epochs": 0, "docs_in": 0}
+    pairs_before = index.pairs.row_count()
 
     def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
         n = batch_df.count()
         if n == 0:
             return
+        spark = batch_df.sparkSession
         nsigs, ntoks = minhash_state(batch_df)
+        # Enforce incremental_neardup's doc-disjointness precondition and the
+        # first-write-wins identity contract in one stroke: drop batch docs
+        # the index already holds, PER TABLE (narrow single-column anti-join,
+        # O(batch) extra work).  Per-table matters for crash replay: a crash
+        # between the two index MERGEs below leaves a doc folded into sigs
+        # but not toks; on replay its signature rows are skipped while its
+        # token rows still land, completing the fold instead of corrupting
+        # either table.
+        if index.has_index():
+            nsigs = nsigs.join(
+                index.sigs.read().select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            ntoks = ntoks.join(
+                index.toks.read().select("doc_id").distinct(), "doc_id", "left_anti"
+            )
         # consumed twice each (pair probe + index fold): materialize once
         nsigs, ntoks = nsigs.localCheckpoint(eager=True), ntoks.localCheckpoint(eager=True)
         old_sigs = index.sigs.read() if index.has_index() else None
@@ -121,6 +152,11 @@ def stream_dedup(
         )
         index.sigs.merge_insert(nsigs, keys=["doc_id", "h"])
         index.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"])
+        # incremental_neardup caches the combined token set (consumed by the
+        # star rescue and verify); all actions for this epoch are done, so
+        # release it — otherwise a long drain accumulates one corpus-sized
+        # cache entry per epoch
+        spark.catalog.clearCache()
         progress["epochs"] += 1
         progress["docs_in"] += n
 
@@ -131,7 +167,8 @@ def stream_dedup(
         .start()
     )
     q.awaitTermination()
-    progress["pairs"] = index.pairs.row_count()
+    progress["pairs_total"] = index.pairs.row_count()
+    progress["pairs_new"] = progress["pairs_total"] - pairs_before
     # epoch MERGEs append small filesets; bin-pack them so scan cost tracks
     # data volume, not epoch count (same policy as ingest.stream_build)
     if progress["epochs"]:

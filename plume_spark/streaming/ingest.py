@@ -33,20 +33,31 @@ from pyspark.sql import functions as F
 from plume_spark.schemas import TRANSCRIPTS
 
 
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Shared file-source stream constructor (streaming sources require a
+    declared schema).  ``max_files_per_trigger`` bounds epoch size — the
+    streaming analog of build_graph's max_units work chunking."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
 def read_transcript_stream(
     spark: SparkSession,
     path: str,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream of transcript rows (schema enforced: streaming
-    sources require a declared schema; TRANSCRIPTS is the authoritative
-    input_hint shape).  ``max_files_per_trigger`` bounds epoch size — the
-    streaming analog of build_graph's max_units work chunking."""
-    reader = spark.readStream.schema(TRANSCRIPTS).format(fmt)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path)
+    """File-source stream of transcript rows (TRANSCRIPTS is the
+    authoritative input_hint shape)."""
+    return file_stream(spark, path, TRANSCRIPTS, fmt, max_files_per_trigger)
 
 
 def stream_build(
