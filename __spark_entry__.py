@@ -691,8 +691,9 @@ ids AS (SELECT doc_id, {_POLY_ID} AS tok_id FROM tok)
 # word-3-gram shingle units for minhash (order-sensitive near-dup unit)
 _SHINGLE_CTE = f"""
 WITH t0 AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-  WHERE len(string_split(text, ' ')) >= 3),
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
 tok AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
   FROM t0, (SELECT unnest(range(1, 2001)) AS i)
@@ -842,8 +843,9 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["dedup_ngram_jaccard"] = """
         WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-          WHERE len(string_split(text, ' ')) >= 3),
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
         sh AS (
           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
           FROM t, (SELECT unnest(range(1, 2001)) AS i)
@@ -1278,8 +1280,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT doc_id,
                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
                  toks[i+3] || ' ' || toks[i+4] AS tok
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-                WHERE len(string_split(text, ' ')) >= 5),
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+                WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 5),
                (SELECT unnest(range(1, 2001)) AS i)
           WHERE i <= len(toks) - 4)
     """
@@ -1299,8 +1302,9 @@ def oracle_sql() -> dict[str, str]:
         WITH sh AS (
           SELECT DISTINCT doc_id,
                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-                WHERE len(string_split(text, ' ')) >= 3),
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+                WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
                (SELECT unnest(range(1, 2001)) AS i)
           WHERE i <= len(toks) - 2),
         common AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM sh GROUP BY tok)

@@ -61,9 +61,10 @@ def shingles(df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_i
     """(doc_id, tok) distinct word n-gram shingles.  Order-sensitive units:
     far more discriminative than bare tokens on small vocabularies, and the
     standard unit for near-dup dedup at scale."""
-    t = df.select(id_col, F.split(F.col(text), " ").alias("toks")).filter(
-        F.size("toks") >= n
-    )
+    t = df.select(
+        id_col,
+        F.filter(F.split(F.col(text), " "), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= n)
     return t.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

@@ -93,10 +93,24 @@ class DedupIndex:
         ]
     )
 
-    def __init__(self, spark: SparkSession, path: str):
-        self.sigs = SnapshotTable(spark, f"{path}/sigs", schema=self.SIGS)
-        self.toks = SnapshotTable(spark, f"{path}/toks", schema=self.TOKS)
-        self.pairs = SnapshotTable(spark, f"{path}/pairs", schema=self.PAIRS)
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
+        # bucket by doc_id: the epoch's anti-join and MERGE keys are doc-keyed,
+        # so co-located buckets keep both proportional to touched buckets, and
+        # a point read on one doc opens 1/n of the files (the same index
+        # recast as the graph store's entities/triples layouts)
+        from plume_spark.store.catalog import TableLayout
+
+        doc_layout = TableLayout(
+            bucket_by="doc_id", n_buckets=n_buckets, sort_by=("doc_id",),
+            stats_cols=("doc_id",),
+        )
+        pair_layout = TableLayout(
+            bucket_by="doc_a", n_buckets=n_buckets, sort_by=("doc_a", "doc_b"),
+            stats_cols=("doc_a",),
+        )
+        self.sigs = SnapshotTable(spark, f"{path}/sigs", schema=self.SIGS, layout=doc_layout)
+        self.toks = SnapshotTable(spark, f"{path}/toks", schema=self.TOKS, layout=doc_layout)
+        self.pairs = SnapshotTable(spark, f"{path}/pairs", schema=self.PAIRS, layout=pair_layout)
 
     def has_index(self) -> bool:
         return self.sigs.row_count() > 0

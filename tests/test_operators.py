@@ -580,3 +580,23 @@ def test_incremental_neardup_via_persisted_index(spark, tmp_path):
     sig_t.merge_insert(nsigs, keys=["doc_id", "h"])
     tok_t.merge_insert(ntoks, keys=["doc_id", "tok_id"])
     assert sig_t.read().select("doc_id").distinct().count() == d.count()
+
+
+def test_corpus_hostile_inputs(spark):
+    """Corpus ops on degenerate docs: empty text, whitespace-only, fewer
+    tokens than the shingle width — empty results or sane rows, no crash."""
+    from plume_spark.operators import corpus
+
+    rows = [(0, ""), (1, "   "), (2, "one two"), (3, "a b c d e f")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert corpus.ngram_overlap(d, d, n=5).count() >= 0
+    bp = {r["doc_id"]: r for r in corpus.boilerplate_score(d, n=3).collect()}
+    assert set(bp) == {3}  # only doc 3 has >= 3 tokens
+    assert {r["doc_id"] for r in corpus.train_val_split(d).collect()} == {0, 1, 2, 3}
+    tk = corpus.tfidf_topk(d, k=2).collect()
+    assert all(r["doc_id"] in (2, 3) for r in tk)  # docs with real tokens
+    pk = {r["doc_id"]: r for r in corpus.pack_chunks(d, budget=4, n_shards=2).collect()}
+    assert set(pk) == {0, 1, 2, 3}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus.boilerplate_score(empty).count() == 0
+    assert corpus.pack_chunks(empty).count() == 0

@@ -303,3 +303,18 @@ def test_stream_dedup_converges_to_full_run(spark, tmp_path):
         read_document_stream(spark, inbox, max_files_per_trigger=1), idx, ckpt
     )
     assert stats2["epochs"] == 0 and idx.pairs.row_count() == before
+
+
+def test_dedup_index_layout_prunes(spark, tmp_path):
+    """The index tables carry the bucketed layout: a point read on one doc
+    opens fewer files than a full scan."""
+    from plume_spark.operators import dedup
+    from plume_spark.streaming import DedupIndex
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = DedupIndex(spark, str(tmp_path / "idx"))
+    sigs, toks = dedup.minhash_state(d)
+    idx.sigs.append(sigs)
+    idx.toks.append(toks)
+    some = d.select("doc_id").first()["doc_id"]
+    assert len(idx.sigs.files_for(point={"doc_id": some})) < len(idx.sigs.files_for())
