@@ -212,6 +212,25 @@ def _q_g2_components(spark, sf):
     return connected_components(e, src="subj", dst="obj", driver_max_edges=0)
 
 
+def _q_g3_triangles(spark, sf):
+    """Per-node triangle counts on the part co-purchase graph (parts sharing
+    an order), degree-ordered orientation — hub-safe wedge joins."""
+    from plume_spark.operators.graph_metrics import co_occurrence_edges, triangle_count
+
+    li = graft.load(spark, sf, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges)
+
+
+def _q_g4_cooccur(spark, sf):
+    """Co-occurrence edge generation itself (entity co-mention analog):
+    part pairs sharing an order, with shared-order counts."""
+    from plume_spark.operators.graph_metrics import co_occurrence_edges
+
+    li = graft.load(spark, sf, "lineitem")
+    return co_occurrence_edges(li, "l_orderkey", "l_partkey")
+
+
 def _q_diag_hot_keys(spark, sf):
     """Skew diagnostic: heaviest join-key values with row share — what sizes
     n_salts / flags AQE-skew candidates before a big join."""
@@ -637,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frame_sample,
         "g1_pagerank": _q_g1_pagerank,
         "g2_components": _q_g2_components,
+        "g3_triangles": _q_g3_triangles,
+        "g4_cooccur": _q_g4_cooccur,
         "w3_sessionize": _q_w3_sessionize,
         "diag_hot_keys": _q_diag_hot_keys,
         "t1_asof_join": _q_t1_asof_join,
@@ -1191,6 +1212,18 @@ def oracle_sql() -> dict[str, str]:
                    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
                      ORDER BY ts ASC, event_id ASC) AS gap
             FROM events))"""
+    from plume_spark.operators.graph_metrics import triangle_oracle_sql
+
+    sql["g3_triangles"] = triangle_oracle_sql(
+        "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem"
+    )
+    sql["g4_cooccur"] = """
+        WITH items0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        gsz AS (SELECT grp, count(*) AS n FROM items0 GROUP BY grp),
+        items AS (SELECT i.grp, i.item FROM items0 i JOIN gsz USING (grp) WHERE gsz.n <= 30)
+        SELECT a.item AS a, b.item AS b, count(*) AS n_groups
+        FROM items a JOIN items b ON a.grp = b.grp AND a.item < b.item
+        GROUP BY a.item, b.item"""
     from plume_spark.operators.components import components_oracle_sql
 
     sql["g2_components"] = components_oracle_sql(

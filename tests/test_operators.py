@@ -600,3 +600,23 @@ def test_corpus_hostile_inputs(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert corpus.boilerplate_score(empty).count() == 0
     assert corpus.pack_chunks(empty).count() == 0
+
+
+def test_triangle_count_hand_computed(spark):
+    from plume_spark.operators.graph_metrics import co_occurrence_edges, triangle_count
+
+    # K4 on {1,2,3,4} plus a pendant 5: each K4 node sits in C(3,2)=3
+    # triangles, the pendant in none
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # co-occurrence: items sharing groups; hub group (> cap) dropped
+    rows = [("g1", i) for i in (1, 2, 3)] + [("g2", i) for i in (2, 3)] + [
+        ("hub", i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    pairs = {(r["a"], r["b"]): r["n_groups"]
+             for r in co_occurrence_edges(df, "grp", "item", max_group_size=10).collect()}
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
