@@ -160,15 +160,20 @@ def candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("rows"))
         .select("doc_id", "band", F.col("rows.minhash").alias("band_sig"))
     )
-    bands = bands.localCheckpoint(eager=True)  # consumed by cap-count AND join
-    ok = (
-        bands.groupBy("band", "band_sig")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .select("band", "band_sig")
+    # One window pass applies the bucket cap: count per (band, band_sig)
+    # partition, drop rows of oversized buckets — replaces a checkpoint +
+    # groupBy-count + semi-join (three stages, two materializations; same
+    # rewrite as operators/dedup._capped_bands).  Dictionary-sized:
+    # materialize once, the self-join reads it twice.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "band_sig")
+    bands = (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+        .localCheckpoint(eager=True)
     )
-    # dictionary-sized: materialize once, the self-join reads it twice
-    bands = bands.join(ok, ["band", "band_sig"], "left_semi").localCheckpoint(eager=True)
     a = bands.select(F.col("doc_id").alias("norm_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("norm_b"), "band", "band_sig")
     banded = (
