@@ -543,10 +543,18 @@ def _q_stream_ordered_release(spark, sf):
     # oracle is exact — in-order exactly-once release means the released set
     # IS the transcript set (per-turn text equality under stable ordering,
     # the north-rule invariant, now under continuous out-of-order arrival).
+    import glob
+    import shutil
     import tempfile
     import time
 
     from plume_spark.streaming import ordered_turn_release, read_transcript_stream
+
+    # best-effort reclaim of PREVIOUS invocations' work dirs (this one's
+    # output parquet must outlive the function — the caller collects the
+    # returned DataFrame lazily — so it can only be cleaned next time)
+    for stale in glob.glob(f"{tempfile.gettempdir()}/plume-stream-contract-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     t = graft.kg_transcripts(spark, sf)
     d = tempfile.mkdtemp(prefix="plume-stream-contract-")
@@ -680,7 +688,7 @@ WITH transcripts AS (
   SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
          event_type AS role,
-         event_type || ' ' || props AS text
+         concat_ws(' ', event_type, props) AS text
   FROM events)
 """
 
@@ -717,7 +725,7 @@ WITH t0 AS (
   WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
 tok AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
-  FROM t0, (SELECT unnest(range(1, 2001)) AS i)
+  FROM t0, (SELECT unnest(range(1, (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) + 1 FROM documents))) AS i)
   WHERE i <= len(toks) - 2),
 ids AS (SELECT doc_id, {_POLY_ID} AS tok_id FROM tok)
 """
@@ -725,6 +733,61 @@ ids AS (SELECT doc_id, {_POLY_ID} AS tok_id FROM tok)
 _MINHASH_PARAMS = ", ".join(
     f"({i}, {dedup.MINHASH_A[i]}, {dedup.MINHASH_B[i]})" for i in range(dedup.MINHASH_K)
 )
+
+
+def _minhash_oracle_body(verify_table: str, verify_col: str, pair_where: str = "") -> str:
+    """Banding/cap/star/verify SQL shared by the full and incremental minhash
+    oracles — one source of truth so a banding change cannot desynchronize
+    them.  ``verify_table``/``verify_col``: the exact-Jaccard substrate
+    ("tok"/"tok" for raw shingles — the full path; "idd"/"tok_id" for the
+    persisted-index token ids — the incremental path)."""
+    return f""",
+        params(h, a, b) AS (VALUES {_MINHASH_PARAMS}),
+        sig AS (
+          SELECT doc_id, h, min((a * tok_id + b) % 2147483647) AS minhash
+          FROM ids CROSS JOIN params GROUP BY doc_id, h),
+        bands AS (
+          SELECT doc_id, h // {dedup.BAND_ROWS} AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+          FROM sig GROUP BY doc_id, h // {dedup.BAND_ROWS}),
+        okb AS (
+          SELECT band, band_sig FROM bands
+          GROUP BY band, band_sig HAVING count(*) <= {dedup.MAX_BUCKET_SIZE}),
+        bandsok AS (
+          SELECT bands.* FROM bands
+          JOIN okb ON bands.band = okb.band AND bands.band_sig = okb.band_sig),
+        cand0 AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandsok a JOIN bandsok b ON a.band = b.band AND a.band_sig = b.band_sig
+          WHERE a.doc_id < b.doc_id),
+        idd AS (SELECT DISTINCT doc_id, tok_id FROM ids),
+        gsets AS (
+          SELECT doc_id, string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY tok_id) AS gset
+          FROM idd GROUP BY doc_id),
+        starg AS (
+          SELECT gset, min(doc_id) AS mn FROM gsets
+          GROUP BY gset HAVING count(*) > 1),
+        star AS (
+          SELECT g.mn AS doc_a, s.doc_id AS doc_b
+          FROM gsets s JOIN starg g ON s.gset = g.gset AND s.doc_id <> g.mn),
+        cand AS (
+          SELECT doc_a, doc_b FROM
+            (SELECT doc_a, doc_b FROM cand0 UNION SELECT doc_a, doc_b FROM star)
+          {pair_where}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM {verify_table} GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN {verify_table} ta ON ta.doc_id = c.doc_a
+          JOIN {verify_table} tb ON tb.doc_id = c.doc_b
+            AND tb.{verify_col} = ta.{verify_col}
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b,
+               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {dedup.JACCARD_TAU}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -805,51 +868,7 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) OVER (PARTITION BY text) AS keeper_id,
                count(*) OVER (PARTITION BY text) AS group_size
         FROM documents"""
-    sql["dedup_minhash_lsh"] = (
-        _SHINGLE_CTE
-        + f""",
-        params(h, a, b) AS (VALUES {_MINHASH_PARAMS}),
-        sig AS (
-          SELECT doc_id, h, min((a * tok_id + b) % 2147483647) AS minhash
-          FROM ids CROSS JOIN params GROUP BY doc_id, h),
-        bands AS (
-          SELECT doc_id, h // {dedup.BAND_ROWS} AS band,
-                 string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
-          FROM sig GROUP BY doc_id, h // {dedup.BAND_ROWS}),
-        okb AS (
-          SELECT band, band_sig FROM bands
-          GROUP BY band, band_sig HAVING count(*) <= {dedup.MAX_BUCKET_SIZE}),
-        bandsok AS (
-          SELECT bands.* FROM bands
-          JOIN okb ON bands.band = okb.band AND bands.band_sig = okb.band_sig),
-        cand0 AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bandsok a JOIN bandsok b ON a.band = b.band AND a.band_sig = b.band_sig
-          WHERE a.doc_id < b.doc_id),
-        gsets AS (
-          SELECT doc_id, string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY tok_id) AS gset
-          FROM (SELECT DISTINCT doc_id, tok_id FROM ids) GROUP BY doc_id),
-        starg AS (
-          SELECT gset, min(doc_id) AS mn FROM gsets
-          GROUP BY gset HAVING count(*) > 1),
-        star AS (
-          SELECT g.mn AS doc_a, s.doc_id AS doc_b
-          FROM gsets s JOIN starg g ON s.gset = g.gset AND s.doc_id <> g.mn),
-        cand AS (SELECT doc_a, doc_b FROM cand0 UNION SELECT doc_a, doc_b FROM star),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
-        inter AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS i
-          FROM cand c
-          JOIN tok ta ON ta.doc_id = c.doc_a
-          JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-          GROUP BY c.doc_a, c.doc_b)
-        SELECT doc_a, doc_b,
-               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {dedup.JACCARD_TAU}"""
-    )
+    sql["dedup_minhash_lsh"] = _SHINGLE_CTE + _minhash_oracle_body("tok", "tok")
     sql["dedup_simhash"] = (
         _TOK_CTE
         + f""",
@@ -869,7 +888,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
         sh AS (
           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-          FROM t, (SELECT unnest(range(1, 2001)) AS i)
+          FROM t, (SELECT unnest(range(1, (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) + 1 FROM documents))) AS i)
           WHERE i <= len(toks) - 2),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
@@ -1026,8 +1045,8 @@ def oracle_sql() -> dict[str, str]:
                                                  CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS cos_sim
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.35"""
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.35"""
     subj_norm = NORM_SQL.format(col="c_name")
     obj_norm = NORM_SQL.format(col="n_name")
     sql["kg_extract_raw"] = f"""
@@ -1106,7 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         fp AS (
           SELECT norm, string_agg(DISTINCT g, '|' ORDER BY g) AS gramset
           FROM (SELECT norm, substr(norm, i, 3) AS g
-                FROM norms, (SELECT unnest(range(1, 2001)) AS i)
+                FROM norms, (SELECT unnest(range(1, (SELECT CAST(max(length(norm)) AS BIGINT) + 1 FROM norms))) AS i)
                 WHERE i <= length(norm) - 2)
           GROUP BY norm),
         canon AS (SELECT norm, min(norm) OVER (PARTITION BY gramset) AS cname FROM fp)
@@ -1217,13 +1236,11 @@ def oracle_sql() -> dict[str, str]:
     sql["g3_triangles"] = triangle_oracle_sql(
         "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem"
     )
-    sql["g4_cooccur"] = """
-        WITH items0 AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
-        gsz AS (SELECT grp, count(*) AS n FROM items0 GROUP BY grp),
-        items AS (SELECT i.grp, i.item FROM items0 i JOIN gsz USING (grp) WHERE gsz.n <= 30)
-        SELECT a.item AS a, b.item AS b, count(*) AS n_groups
-        FROM items a JOIN items b ON a.grp = b.grp AND a.item < b.item
-        GROUP BY a.item, b.item"""
+    from plume_spark.operators.graph_metrics import cooccur_oracle_sql
+
+    sql["g4_cooccur"] = cooccur_oracle_sql(
+        "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem"
+    )
     from plume_spark.operators.components import components_oracle_sql
 
     sql["g2_components"] = components_oracle_sql(
@@ -1231,7 +1248,7 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem
            WHERE (2000000 + l_partkey) % 23 = 0""",
-        n_iters=20,
+        n_iters=32,
     )
     sql["diag_hot_keys"] = """
         SELECT CAST(user_id AS VARCHAR) AS key_value,
@@ -1258,54 +1275,8 @@ def oracle_sql() -> dict[str, str]:
     # dedup_minhash_lsh, restricted to pairs touching the "new batch"
     # (doc_id % 4 == 0) and verified over token-id sets (the engine's
     # persisted-index substrate — raw shingle strings are not stored).
-    sql["dedup_minhash_incr"] = (
-        _SHINGLE_CTE
-        + f""",
-        params(h, a, b) AS (VALUES {_MINHASH_PARAMS}),
-        sig AS (
-          SELECT doc_id, h, min((a * tok_id + b) % 2147483647) AS minhash
-          FROM ids CROSS JOIN params GROUP BY doc_id, h),
-        bands AS (
-          SELECT doc_id, h // {dedup.BAND_ROWS} AS band,
-                 string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
-          FROM sig GROUP BY doc_id, h // {dedup.BAND_ROWS}),
-        okb AS (
-          SELECT band, band_sig FROM bands
-          GROUP BY band, band_sig HAVING count(*) <= {dedup.MAX_BUCKET_SIZE}),
-        bandsok AS (
-          SELECT bands.* FROM bands
-          JOIN okb ON bands.band = okb.band AND bands.band_sig = okb.band_sig),
-        cand0 AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bandsok a JOIN bandsok b ON a.band = b.band AND a.band_sig = b.band_sig
-          WHERE a.doc_id < b.doc_id),
-        idd AS (SELECT DISTINCT doc_id, tok_id FROM ids),
-        gsets AS (
-          SELECT doc_id, string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY tok_id) AS gset
-          FROM idd GROUP BY doc_id),
-        starg AS (
-          SELECT gset, min(doc_id) AS mn FROM gsets
-          GROUP BY gset HAVING count(*) > 1),
-        star AS (
-          SELECT g.mn AS doc_a, s.doc_id AS doc_b
-          FROM gsets s JOIN starg g ON s.gset = g.gset AND s.doc_id <> g.mn),
-        cand AS (
-          SELECT doc_a, doc_b FROM
-            (SELECT doc_a, doc_b FROM cand0 UNION SELECT doc_a, doc_b FROM star)
-          WHERE doc_a % 4 = 0 OR doc_b % 4 = 0),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM idd GROUP BY doc_id),
-        inter AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS i
-          FROM cand c
-          JOIN idd ta ON ta.doc_id = c.doc_a
-          JOIN idd tb ON tb.doc_id = c.doc_b AND tb.tok_id = ta.tok_id
-          GROUP BY c.doc_a, c.doc_b)
-        SELECT doc_a, doc_b,
-               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = inter.doc_a
-        JOIN sizes sb ON sb.doc_id = inter.doc_b
-        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {dedup.JACCARD_TAU}"""
+    sql["dedup_minhash_incr"] = _SHINGLE_CTE + _minhash_oracle_body(
+        "idd", "tok_id", pair_where="WHERE doc_a % 4 = 0 OR doc_b % 4 = 0"
     )
     # word-5-gram shingle CTE over documents (decontamination unit)
     gram5 = """
@@ -1316,7 +1287,7 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
                 FROM documents
                 WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 5),
-               (SELECT unnest(range(1, 2001)) AS i)
+               (SELECT unnest(range(1, (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) + 1 FROM documents))) AS i)
           WHERE i <= len(toks) - 4)
     """
     sql["corpus_decon_overlap"] = (
@@ -1338,7 +1309,7 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
                 FROM documents
                 WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
-               (SELECT unnest(range(1, 2001)) AS i)
+               (SELECT unnest(range(1, (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) + 1 FROM documents))) AS i)
           WHERE i <= len(toks) - 2),
         common AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM sh GROUP BY tok)
                    WHERE c >= 10),

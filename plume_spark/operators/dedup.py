@@ -417,7 +417,10 @@ def ngram_jaccard_pairs(
     shingle; exact verification follows.  Quadratic within hot shingles —
     the minhash operator is the scale path for this semantics.
     """
-    t = df.select(id_col, F.split(F.col(text), " ").alias("toks")).filter(
+    t = df.select(
+        id_col,
+        F.filter(F.split(F.col(text), " "), lambda x: x != "").alias("toks"),
+    ).filter(
         F.size("toks") >= n  # guard: F.sequence(0, negative) would descend
     )
     sh = t.select(

@@ -23,12 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# hub-group cap shared by the operator and its oracle generators — one
+# constant so the SQL can never silently diverge from the engine default
+DEFAULT_MAX_GROUP_SIZE = 30
+
 
 def co_occurrence_edges(
     df: DataFrame,
     group_col: str,
     item_col: str,
-    max_group_size: int = 30,
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
 ) -> DataFrame:
     """Undirected co-occurrence edges (a, b, n_groups), a < b: item pairs
     sharing at least one group, weighted by how many groups they share.
@@ -92,7 +96,21 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
-def triangle_oracle_sql(items_sql: str, max_group_size: int = 30) -> str:
+def cooccur_oracle_sql(items_sql: str, max_group_size: int = DEFAULT_MAX_GROUP_SIZE) -> str:
+    """ANSI-SQL twin of co_occurrence_edges over ``items_sql`` yielding
+    (grp, item) — generated next to the operator (same pattern as
+    components_oracle_sql) so the cap stays in lockstep."""
+    return f"""
+        WITH items0 AS (SELECT DISTINCT grp, item FROM ({items_sql})),
+        gsz AS (SELECT grp, count(*) AS n FROM items0 GROUP BY grp),
+        items AS (SELECT i.grp, i.item FROM items0 i JOIN gsz USING (grp)
+                  WHERE gsz.n <= {max_group_size})
+        SELECT a.item AS a, b.item AS b, count(*) AS n_groups
+        FROM items a JOIN items b ON a.grp = b.grp AND a.item < b.item
+        GROUP BY a.item, b.item"""
+
+
+def triangle_oracle_sql(items_sql: str, max_group_size: int = DEFAULT_MAX_GROUP_SIZE) -> str:
     """ANSI-SQL twin of co_occurrence_edges + triangle_count over an
     ``items_sql`` yielding (grp, item) — generated next to the operator so
     the two stay in lockstep (same pattern as components_oracle_sql)."""
