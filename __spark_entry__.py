@@ -199,6 +199,30 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_a7_percentiles(spark, sf):
+    """Exact interpolated percentiles per group — the latency-style summary
+    every events pipeline ships; Catalyst's native percentile aggregate
+    (sort-based partial agg), no sketch approximation."""
+    e = graft.load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def _q_a8_rollup(spark, sf):
+    """ROLLUP aggregate (per-type subtotals + grand total) — Catalyst's
+    native grouping-sets expansion, one pass."""
+    e = graft.load(spark, sf, "events")
+    # decimal sum: associative/exact, so the rollup total is identical under
+    # any partitioning (same determinism pattern as _q_a1)
+    return e.rollup("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
 def _q_g2_components(spark, sf):
     """Distributed connected components (driver kernel disabled) over the
     DAG with part edges thinned to obj % 23 == 0 — a multi-component graph
@@ -663,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ordered_release": _q_stream_ordered_release,
         "mm_frame_sample": _q_mm_frame_sample,
         "g1_pagerank": _q_g1_pagerank,
+        "a7_percentiles": _q_a7_percentiles,
+        "a8_rollup": _q_a8_rollup,
         "g2_components": _q_g2_components,
         "g3_triangles": _q_g3_triangles,
         "g4_cooccur": _q_g4_cooccur,
@@ -1217,6 +1243,16 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
     )
+    sql["a7_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type"""
+    sql["a8_rollup"] = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY ROLLUP(event_type)"""
     sql["w3_sessionize"] = """
         SELECT event_id, user_id,
                CAST(sum(new_sess) OVER (PARTITION BY user_id
