@@ -199,6 +199,17 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_u3_except_intersect(spark, sf):
+    """EXCEPT/INTERSECT set ops (beyond the reference's union-only absorb):
+    users who purchased but never errored, and users who did both."""
+    e = graft.load(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    err = e.filter(F.col("event_type") == "error").select("user_id")
+    only = p.subtract(err).withColumn("kind", F.lit("purchase_only"))
+    both = p.intersect(err).withColumn("kind", F.lit("both"))
+    return only.unionByName(both)
+
+
 def _q_a7_percentiles(spark, sf):
     """Exact interpolated percentiles per group — the latency-style summary
     every events pipeline ships; Catalyst's native percentile aggregate
@@ -687,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ordered_release": _q_stream_ordered_release,
         "mm_frame_sample": _q_mm_frame_sample,
         "g1_pagerank": _q_g1_pagerank,
+        "u3_except_intersect": _q_u3_except_intersect,
         "a7_percentiles": _q_a7_percentiles,
         "a8_rollup": _q_a8_rollup,
         "g2_components": _q_g2_components,
@@ -1243,6 +1255,14 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
     )
+    sql["u3_except_intersect"] = """
+        WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+             e AS (SELECT user_id FROM events WHERE event_type = 'error')
+        SELECT DISTINCT user_id, 'purchase_only' AS kind FROM p
+        WHERE user_id NOT IN (SELECT user_id FROM e)
+        UNION ALL
+        SELECT DISTINCT user_id, 'both' AS kind FROM p
+        WHERE user_id IN (SELECT user_id FROM e)"""
     sql["a7_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,

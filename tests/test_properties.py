@@ -204,3 +204,28 @@ def test_train_val_split_total_and_deterministic(spark, ids):
         assert r["split"] == ("val" if r["bucket"] < 25 else "train")
     again = {r["doc_id"]: r["bucket"] for r in corpus.train_val_split(docs, val_pct=25).collect()}
     assert again == {r["doc_id"]: r["bucket"] for r in rows}
+
+
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=40))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_triangle_count_matches_bruteforce(spark, raw_edges):
+    """Degree-ordered distributed triangle counting == itertools brute force."""
+    from itertools import combinations
+
+    from plume_spark.operators.graph_metrics import triangle_count
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expected: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == expected
