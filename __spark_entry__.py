@@ -199,6 +199,12 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_corpus_select(spark, sf):
+    """Capstone composition: quality + language + exact-dup-keeper gates in
+    one plan — the raw-crawl -> training-ready selection chain."""
+    return corpus.select_corpus(graft.load(spark, sf, "documents"))
+
+
 def _q_u3_except_intersect(spark, sf):
     """EXCEPT/INTERSECT set ops (beyond the reference's union-only absorb):
     users who purchased but never errored, and users who did both."""
@@ -714,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_train_val_split": _q_corpus_split,
         "corpus_tfidf_topk": _q_corpus_tfidf,
         "corpus_pack_chunks": _q_corpus_pack,
+        "corpus_select": _q_corpus_select,
     }
 
 
@@ -957,7 +964,8 @@ def oracle_sql() -> dict[str, str]:
                len(subtoks) AS n_subtokens
         FROM t"""
     stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
-    sql["text_quality"] = f"""
+    def _quality_select() -> str:
+        return f"""
         WITH t AS (
           SELECT doc_id, text,
                  list_filter(string_split(text, ' '), x -> x <> '') AS toks,
@@ -977,29 +985,43 @@ def oracle_sql() -> dict[str, str]:
                  + (CASE WHEN n_punct * 1.0 / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END),
                4) AS DOUBLE) AS quality
         FROM m"""
-    marker_cases = []
-    for i, lang in enumerate(sorted(text.LANG_MARKERS)):
-        arr = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
-        marker_cases.append(
-            f"len(list_filter(toks, x -> list_contains([{arr}], x))) AS s_{lang}"
+
+    sql["text_quality"] = _quality_select()
+    def _langid_select() -> str:
+        marker_cases = []
+        for i, lang in enumerate(sorted(text.LANG_MARKERS)):
+            arr = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+            marker_cases.append(
+                f"len(list_filter(toks, x -> list_contains([{arr}], x))) AS s_{lang}"
+            )
+        langs = sorted(text.LANG_MARKERS)
+        when_chain = " ".join(
+            f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1]
         )
-    langs = sorted(text.LANG_MARKERS)
-    when_chain = " ".join(
-        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1]
-    )
-    sql["text_langid"] = f"""
-        WITH t AS (
-          SELECT doc_id, text,
-                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-          FROM documents),
-        s AS (SELECT doc_id, text, {', '.join(marker_cases)} FROM t),
-        m AS (SELECT *, greatest({', '.join('s_' + la for la in langs)}) AS m FROM s)
-        SELECT doc_id,
-               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-                    WHEN m = 0 THEN 'und'
-                    {when_chain}
-                    ELSE '{langs[-1]}' END AS pred_lang
-        FROM m"""
+        return f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            s AS (SELECT doc_id, text, {', '.join(marker_cases)} FROM t),
+            m AS (SELECT *, greatest({', '.join('s_' + la for la in langs)}) AS m FROM s)
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN m = 0 THEN 'und'
+                        {when_chain}
+                        ELSE '{langs[-1]}' END AS pred_lang
+            FROM m"""
+
+    sql["text_langid"] = _langid_select()
+    sql["corpus_select"] = f"""
+        WITH q AS ({_quality_select()}),
+        l AS ({_langid_select()}),
+        k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id
+              FROM documents)
+        SELECT d.doc_id, q.quality, l.pred_lang
+        FROM documents d
+        JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)
+        WHERE q.quality >= 0.5 AND l.pred_lang = 'en' AND d.doc_id = k.keeper_id"""
     sql["text_fingerprint"] = """
         WITH t AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -200,3 +200,38 @@ def pack_chunks(
         "shard",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_offset"),
     ).withColumn("chunk", F.floor(F.col("tok_offset") / budget).cast("long"))
+
+
+def select_corpus(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The capstone composition: training-ready corpus selection.
+
+    Keeps docs that pass the quality heuristic, are in an accepted language,
+    and are their exact-duplicate group's keeper — the filter chain every
+    training-data pipeline runs between raw crawl and tokenizer.  One plan:
+    three doc-keyed joins over the shared scan; Catalyst pushes the filters
+    and prunes columns, so at 100 TB this is a handful of co-keyed shuffles,
+    not three passes over raw text."""
+    from plume_spark.operators.dedup import exact_dedup
+    from plume_spark.operators.text import language_id, quality_score
+
+    q = quality_score(df, text=text, id_col=id_col).select("doc_id", "quality")
+    lang = language_id(df, text=text, id_col=id_col)
+    keep = exact_dedup(df, text=text, id_col=id_col).select("doc_id", "keeper_id")
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(keep, "doc_id")
+        .filter(
+            (F.col("quality") >= min_quality)
+            & F.col("pred_lang").isin(*langs)
+            & (F.col("doc_id") == F.col("keeper_id"))
+        )
+        .select("doc_id", "quality", "pred_lang")
+    )
