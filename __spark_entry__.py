@@ -199,6 +199,17 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_a9_pivot(spark, sf):
+    """Pivot (wide per-user event counts) with a FIXED value list so the
+    plan is one pass (no values-discovery job) — the dashboard cross-tab."""
+    e = graft.load(spark, sf, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = e.groupBy("user_id").pivot("event_type", kinds).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    )
+
+
 def _q_corpus_select(spark, sf):
     """Capstone composition: quality + language + exact-dup-keeper gates in
     one plan — the raw-crawl -> training-ready selection chain."""
@@ -721,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_topk": _q_corpus_tfidf,
         "corpus_pack_chunks": _q_corpus_pack,
         "corpus_select": _q_corpus_select,
+        "a9_pivot": _q_a9_pivot,
     }
 
 
@@ -1277,6 +1289,14 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
     )
+    sql["a9_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'view') AS n_view,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup') AS n_signup,
+               count(*) FILTER (event_type = 'error') AS n_error
+        FROM events GROUP BY user_id"""
     sql["u3_except_intersect"] = """
         WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
              e AS (SELECT user_id FROM events WHERE event_type = 'error')
