@@ -771,7 +771,7 @@ WITH tok AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   WHERE tok <> ''),
-ids AS (SELECT doc_id, {_POLY_ID} AS tok_id FROM tok)
+ids AS (SELECT DISTINCT doc_id, {_POLY_ID} AS tok_id FROM tok)
 """
 
 # word-3-gram shingle units for minhash (order-sensitive near-dup unit)
@@ -784,7 +784,7 @@ tok AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
   FROM t0, (SELECT unnest(range(1, (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) + 1 FROM documents))) AS i)
   WHERE i <= len(toks) - 2),
-ids AS (SELECT doc_id, {_POLY_ID} AS tok_id FROM tok)
+ids AS (SELECT DISTINCT doc_id, {_POLY_ID} AS tok_id FROM tok)
 """
 
 _MINHASH_PARAMS = ", ".join(
@@ -922,8 +922,10 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["dedup_exact"] = """
         SELECT doc_id,
-               min(doc_id) OVER (PARTITION BY text) AS keeper_id,
-               count(*) OVER (PARTITION BY text) AS group_size
+               CASE WHEN text IS NULL THEN doc_id
+                    ELSE min(doc_id) OVER (PARTITION BY text) END AS keeper_id,
+               CASE WHEN text IS NULL THEN 1
+                    ELSE count(*) OVER (PARTITION BY text) END AS group_size
         FROM documents"""
     sql["dedup_minhash_lsh"] = _SHINGLE_CTE + _minhash_oracle_body("tok", "tok")
     sql["dedup_simhash"] = (
@@ -1028,7 +1030,9 @@ def oracle_sql() -> dict[str, str]:
     sql["corpus_select"] = f"""
         WITH q AS ({_quality_select()}),
         l AS ({_langid_select()}),
-        k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id
+        k AS (SELECT doc_id,
+                     CASE WHEN text IS NULL THEN doc_id
+                          ELSE min(doc_id) OVER (PARTITION BY text) END AS keeper_id
               FROM documents)
         SELECT d.doc_id, q.quality, l.pred_lang
         FROM documents d
