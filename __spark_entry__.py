@@ -639,6 +639,19 @@ def _q_dedup_incr(spark, sf):
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dedup_groups(spark, sf):
+    """The dedup deliverable: near-dup clusters.  MinHash pairs -> connected
+    components (min doc_id = the cluster keeper) — pure composition of the
+    two oracle-checked operators."""
+    from plume_spark.operators.components import connected_components
+
+    d = graft.load(spark, sf, "documents")
+    pairs = dedup.minhash_dedup(d, portable_ids=True)
+    return connected_components(
+        pairs, src="doc_a", dst="doc_b", driver_max_edges=0
+    ).withColumnRenamed("node", "doc_id").withColumnRenamed("component", "keeper_id")
+
+
 def _q_corpus_decon(spark, sf):
     # benchmark decontamination: train-doc 5-gram overlap vs a deterministic
     # held-out subset (doc_id % EVAL_MOD == 0 plays the eval suite)
@@ -726,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_asof_join": _q_t1_asof_join,
         "t2_range_join": _q_t2_range_join,
         "dedup_minhash_incr": _q_dedup_incr,
+        "dedup_minhash_groups": _q_dedup_groups,
         "corpus_decon_overlap": _q_corpus_decon,
         "corpus_boilerplate": _q_corpus_boilerplate,
         "corpus_train_val_split": _q_corpus_split,
@@ -1373,6 +1387,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.event_type = 'click' AND r.user_id = l.user_id
                   AND r.ts >= l.ts - INTERVAL 3600 SECOND AND r.ts <= l.ts) AS n_in_range
         FROM events l WHERE l.event_type = 'purchase'"""
+    # near-dup clusters: the minhash-pair oracle body feeds the unrolled
+    # min-label-propagation oracle — composition of the two generators
+    pair_edges = (
+        _SHINGLE_CTE.replace("WITH ", "", 1)
+        + _minhash_oracle_body("tok", "tok")
+    )
+    sql["dedup_minhash_groups"] = components_oracle_sql(
+        f"SELECT doc_a AS subj, doc_b AS obj FROM (WITH {pair_edges}) pe",
+        n_iters=10,
+    ).replace("SELECT node, label AS component FROM", "SELECT node AS doc_id, label AS keeper_id FROM")
     # incremental near-dup: identical banding/cap/star pipeline to
     # dedup_minhash_lsh, restricted to pairs touching the "new batch"
     # (doc_id % 4 == 0) and verified over token-id sets (the engine's
