@@ -210,6 +210,10 @@ def _q_a9_pivot(spark, sf):
     )
 
 
+def _q_corpus_logprob(spark, sf):
+    return corpus.unigram_logprob(graft.load(spark, sf, "documents"))
+
+
 def _q_corpus_select(spark, sf):
     """Capstone composition: quality + language + exact-dup-keeper gates in
     one plan — the raw-crawl -> training-ready selection chain."""
@@ -746,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf_topk": _q_corpus_tfidf,
         "corpus_pack_chunks": _q_corpus_pack,
         "corpus_select": _q_corpus_select,
+        "corpus_unigram_logprob": _q_corpus_logprob,
         "a9_pivot": _q_a9_pivot,
     }
 
@@ -1307,6 +1312,16 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
     )
+    sql["corpus_unigram_logprob"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        freq AS (SELECT tok, count(*) AS n_tok FROM tk GROUP BY tok),
+        tot AS (SELECT sum(n_tok) AS n_total FROM freq)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(ln(n_tok / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
+        FROM tk JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id"""
     sql["a9_pivot"] = """
         SELECT user_id,
                count(*) FILTER (event_type = 'click') AS n_click,

@@ -235,3 +235,31 @@ def select_corpus(
         )
         .select("doc_id", "quality", "pred_lang")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean unigram log-likelihood per doc under the corpus's own unigram
+    model — the model-based quality signal (CCNet-style): garbled or
+    out-of-distribution docs score low.
+
+    (doc_id, n_tokens, avg_logprob).  Two partial aggregates (per-token
+    corpus counts; per-doc means) and one broadcast scalar — the token
+    frequency table joins at the planner's discretion (corpus-vocabulary
+    sized, like tfidf's df table)."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n_tok") / F.col("n_total"))), 6).alias("avg_logprob"),
+        )
+    )
