@@ -210,6 +210,10 @@ def _q_a9_pivot(spark, sf):
     )
 
 
+def _q_corpus_repetition(spark, sf):
+    return corpus.repetition_score(graft.load(spark, sf, "documents"))
+
+
 def _q_corpus_logprob(spark, sf):
     return corpus.unigram_logprob(graft.load(spark, sf, "documents"))
 
@@ -751,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_chunks": _q_corpus_pack,
         "corpus_select": _q_corpus_select,
         "corpus_unigram_logprob": _q_corpus_logprob,
+        "corpus_repetition": _q_corpus_repetition,
         "a9_pivot": _q_a9_pivot,
     }
 
@@ -1312,6 +1317,21 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
     )
+    sql["corpus_repetition"] = """
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i + 1]) AS grams
+          FROM t)
+        SELECT doc_id, len(grams) AS n_ngrams,
+               CASE WHEN len(grams) > 0
+                    THEN round((len(grams) - len(list_distinct(grams)))
+                               / CAST(len(grams) AS DOUBLE), 6)
+                    ELSE 0.0 END AS rep_frac
+        FROM g"""
     sql["corpus_unigram_logprob"] = """
         WITH toks AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -263,3 +263,30 @@ def unigram_logprob(
             F.round(F.avg(F.log(F.col("n_tok") / F.col("n_total"))), 6).alias("avg_logprob"),
         )
     )
+
+
+def repetition_score(
+    df: DataFrame, n: int = 2, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-doc repetition (the Gopher-rule signal): the fraction of a
+    doc's word n-grams that are repeats of an earlier n-gram in the SAME
+    doc.  Looping generated text scores near 1, natural text near 0.
+
+    (doc_id, n_ngrams, rep_frac).  A pure per-row column expression —
+    whole-stage codegen, zero shuffles — so it runs at scan speed over
+    100 TB."""
+    toks = F.filter(F.split(F.col(text), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    n_grams = F.size(grams)
+    rep = F.when(
+        n_grams > 0,
+        F.round((n_grams - F.size(F.array_distinct(grams))) / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.cast("long").alias("n_ngrams"),  # match SQL len() (BIGINT)
+        rep.alias("rep_frac"),
+    )

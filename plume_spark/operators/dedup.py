@@ -441,7 +441,7 @@ def simhash(
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
         sh = term if sh is None else sh + term
-    return agg.select("doc_id", sh.alias("simhash"))
+    return agg.select("doc_id", sh.cast("long").alias("simhash"))  # match SQL BIGINT
 
 
 def ngram_jaccard_pairs(
@@ -467,219 +467,3 @@ def ngram_jaccard_pairs(
     )
     return jaccard_verify(cand, sh, tau)
 
-
-def minhash_dedup(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id",
-    tau: float = JACCARD_TAU, portable_ids: bool = False, unit: str = "shingle3",
-    max_bucket_size: int = MAX_BUCKET_SIZE,
-) -> DataFrame:
-    """Full MinHash/LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
-
-    ``unit``: 'shingle3' (word 3-grams, default — discriminative) or 'token'.
-    ``portable_ids`` selects the polynomial-hash token ids the SQL oracle can
-    recompute (contract queries only); default is native xxhash64.  Both are
-    distributed projections — no dictionary, no global sort.  Verification is
-    exact over the unit sets, so output pairs are identical across engines
-    given identical candidates (the oracle mirrors the same banding and the
-    same bucket cap, so even LSH misses agree)."""
-    if unit not in ("shingle3", "token"):
-        raise ValueError(f"unit must be 'shingle3' or 'token', got {unit!r}")
-    if unit not in ("shingle3", "token"):
-        raise ValueError(f"unit must be 'shingle3' or 'token', got {unit!r}")
-    tok = shingles(df, 3, text, id_col) if unit == "shingle3" else tokens(df, text, id_col)
-    id_fn = portable_token_ids if portable_ids else hashed_token_ids
-    tok = tok.localCheckpoint(eager=True)  # 3 verify-side consumers
-    ids = id_fn(tok).select("doc_id", "tok_id").localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(
-        minhash_signatures(ids), max_bucket_size=max_bucket_size, tok_ids=ids
-    )
-    return jaccard_verify(pairs, tok, tau)
-
-
-def minhash_state(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id",
-    portable_ids: bool = False, unit: str = "shingle3",
-) -> tuple[DataFrame, DataFrame]:
-    """The persistable dedup index of a corpus batch: (signatures, token ids).
-
-    sigs = (doc_id, h, minhash), tok_ids = (doc_id, tok_id).  Compute once
-    per ingested batch, store both (e.g. SnapshotTable append), and feed
-    incremental_neardup on the next batch — the expensive part (shingling +
-    hashing the raw text) then runs over the delta only, which is how
-    web-crawl dedup actually operates: each new crawl dedups against an
-    ever-growing index, never re-reading the 100 TB corpus."""
-    tok = shingles(df, 3, text, id_col) if unit == "shingle3" else tokens(df, text, id_col)
-    id_fn = portable_token_ids if portable_ids else hashed_token_ids
-    ids = id_fn(tok).select("doc_id", "tok_id")
-    return minhash_signatures(ids), ids
-
-
-def incremental_neardup(
-    index_sigs: DataFrame | None,
-    index_toks: DataFrame | None,
-    new_sigs: DataFrame,
-    new_toks: DataFrame,
-    tau: float = JACCARD_TAU,
-    band_rows: int = BAND_ROWS,
-    max_bucket_size: int = MAX_BUCKET_SIZE,
-) -> DataFrame:
-    """Near-dup pairs that touch at least one NEW doc, identical to what a
-    full re-run over index ∪ new would emit for those pairs.
-
-    Candidate generation probes only the new docs' band rows against the
-    combined band table (an asymmetric join: |new| × bucket, not |all|²),
-    the bucket cap is computed over the union exactly as a full run would,
-    and the exact-duplicate star rescue keeps only edges touching new docs.
-    Verification is exact Jaccard over token-id sets.  With no index (both
-    None) this degenerates to the full pipeline over ``new`` alone — the
-    property the equivalence test pins down.
-
-    PRECONDITION: index and new must be doc-disjoint per table (no doc_id on
-    both sides of either union).  The function does NOT dedupe the unions —
-    doing so would shuffle the whole index every call.  stream_dedup
-    enforces the precondition with narrow anti-joins before calling (its
-    crash-replay path re-lands already-folded docs; filtering them out there
-    costs O(batch), not O(corpus)).
-
-    The combined token set is consumed several times downstream (star
-    rescue, per-doc sizes, both sides of the verify join): it is cached
-    here; callers running many invocations in one session should clear or
-    unpersist between rounds (stream_dedup does)."""
-    sigs = new_sigs if index_sigs is None else index_sigs.unionByName(new_sigs)
-    toks = new_toks if index_toks is None else index_toks.unionByName(new_toks)
-    # consumed by the star rescue and all three verify-side reads;
-    # localCheckpoint so the blocks free themselves when unreferenced
-    toks = toks.localCheckpoint(eager=True)
-    new_ids = new_toks.select("doc_id").distinct()
-    bands = _capped_bands(sigs, band_rows, max_bucket_size)
-    probe = bands.join(new_ids, "doc_id", "left_semi")
-    a = probe.select(F.col("doc_id").alias("da"), "band", "band_sig")
-    b = bands.select(F.col("doc_id").alias("db"), "band", "band_sig")
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("da") != F.col("db"))
-        .select(
-            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
-        )
-    )
-    if max_bucket_size:
-        gsets = toks.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("tok_id")).alias("gset")
-        )
-        star = (
-            gsets.groupBy("gset")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-            .filter(F.size("members") > 1)
-            .select(
-                F.element_at("members", 1).alias("doc_a"),
-                F.explode(F.slice("members", 2, F.size("members"))).alias("doc_b"),
-            )
-        )
-        new_a = new_ids.withColumnRenamed("doc_id", "doc_a")
-        new_b = new_ids.withColumnRenamed("doc_id", "doc_b")
-        star_touch = star.join(new_a, "doc_a", "left_semi").unionByName(
-            star.join(new_b, "doc_b", "left_semi")
-        )
-        cand = cand.unionByName(star_touch)
-    pairs = cand.distinct()
-    return jaccard_verify(pairs, toks.withColumnRenamed("tok_id", "tok"), tau)
-
-
-def embedding_neardup(
-    embeddings: DataFrame, tau: float = 0.9,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs -> (vec_a, vec_b, cos_sim).
-
-    Scale path: LSH sign-buckets (random-hyperplane, deterministic integer
-    weights) confine the pairwise cosine verify to same-bucket vectors —
-    sum(bucket^2) work instead of n^2.  High-cosine pairs land in the same
-    bucket with probability (1 - theta/pi)^n_planes, so this is the recall/
-    cost knob; all arithmetic is JVM-side (zip_with/aggregate, codegen).
-    """
-    from plume_spark.operators.similarity import blocked_cosine_pairs, lsh_buckets
-
-    buckets = lsh_buckets(embeddings, id_col=id_col, vec_col=vec_col).withColumnRenamed(
-        "vec_id", id_col
-    )
-    with_bucket = embeddings.join(buckets, id_col)
-    return blocked_cosine_pairs(
-        with_bucket, block_col="bucket", tau=tau, id_col=id_col, vec_col=vec_col
-    )
-
-
-def simhash(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id",
-    portable_ids: bool = False,
-) -> DataFrame:
-    """(doc_id, simhash): 16-bit sign-sum fingerprint over hashed token
-    ids — near-dups differ in few bits (Hamming).  Pure column arithmetic
-    end-to-end; ``portable_ids`` switches to the SQL-reproducible polynomial
-    hash (oracle path), xxhash64 otherwise — neither needs a dictionary."""
-    tok = tokens(df, text, id_col)
-    id_fn = portable_token_ids if portable_ids else hashed_token_ids
-    ids = id_fn(tok).select("doc_id", "tok_id")
-    scrambled = ids.withColumn(
-        "s", (F.col("tok_id") * F.lit(SIMHASH_SCRAMBLE)) % F.lit(4294967296)
-    )
-    bits = scrambled.select(
-        "doc_id",
-        *[
-            (((F.col("s") / F.lit(2**j)).cast("long") % 2) * 2 - 1).alias(f"w{j}")
-            for j in range(SIMHASH_BITS)
-        ],
-    )
-    agg = bits.groupBy("doc_id").agg(
-        *[F.sum(f"w{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
-    )
-    sh = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
-        sh = term if sh is None else sh + term
-    return agg.select("doc_id", sh.alias("simhash"))
-
-
-def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, tau: float = JACCARD_TAU,
-    text: str = "text", id_col: str = "doc_id",
-) -> DataFrame:
-    """Word n-gram (shingle) Jaccard near-dup pairs, shingle-blocked.
-
-    Blocking on shared shingles bounds candidates to pairs with >=1 common
-    shingle; exact verification follows.  Quadratic within hot shingles —
-    the minhash operator is the scale path for this semantics.
-    """
-    t = df.select(
-        id_col,
-        F.filter(F.split(F.col(text), " "), lambda x: x != "").alias("toks"),
-    ).filter(
-        F.size("toks") >= n  # guard: F.sequence(0, negative) would descend
-    )
-    sh = t.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= tau)
-    )
