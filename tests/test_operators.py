@@ -620,3 +620,22 @@ def test_triangle_count_hand_computed(spark):
     pairs = {(r["a"], r["b"]): r["n_groups"]
              for r in co_occurrence_edges(df, "grp", "item", max_group_size=10).collect()}
     assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_corpus_pipeline_composition(spark):
+    """The ops compose into the full corpus-prep flow: select (quality +
+    lang + dedup keeper) -> split -> pack; every selected doc gets exactly
+    one split and one chunk slot."""
+    from plume_spark.operators import corpus
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    selected = corpus.select_corpus(d)
+    n_sel = selected.count()
+    assert 0 < n_sel < d.count()
+    kept = d.join(selected.select("doc_id"), "doc_id", "left_semi")
+    split = corpus.train_val_split(kept)
+    packed = corpus.pack_chunks(kept, budget=128, n_shards=4)
+    assert split.count() == n_sel and packed.count() == n_sel
+    joined = split.join(packed, "doc_id")
+    assert joined.count() == n_sel  # 1:1 across stages
+    assert joined.filter("split = 'val'").count() > 0
