@@ -199,6 +199,22 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_w4_sliding_rate(spark, sf):
+    """Sliding event rate: per event, how many same-user events fell in the
+    preceding hour — a RANGE frame over event time (one window pass; the
+    self-join formulation t2 uses is the non-window twin)."""
+    e = graft.load(spark, sf, "events")
+    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
 def _q_a9_pivot(spark, sf):
     """Pivot (wide per-user event counts) with a FIXED value list so the
     plan is one pass (no values-discovery job) — the dashboard cross-tab."""
@@ -757,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unigram_logprob": _q_corpus_logprob,
         "corpus_repetition": _q_corpus_repetition,
         "a9_pivot": _q_a9_pivot,
+        "w4_sliding_rate": _q_w4_sliding_rate,
     }
 
 
@@ -1342,6 +1359,11 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_tok / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
         FROM tk JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["w4_sliding_rate"] = """
+        SELECT event_id, user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events"""
     sql["a9_pivot"] = """
         SELECT user_id,
                count(*) FILTER (event_type = 'click') AS n_click,
