@@ -199,6 +199,18 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_emb_centroids(spark, sf):
+    """Per-label per-dimension embedding centroids (the IVF/clustering
+    building block): posexplode to long form, one partial-agg mean — no
+    array reassembly shuffle, columnar the whole way."""
+    emb = graft.load(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"), F.count("*").alias("n_vecs"))
+    )
+
+
 def _q_w4_sliding_rate(spark, sf):
     """Sliding event rate: per event, how many same-user events fell in the
     preceding hour — a RANGE frame over event time (one window pass; the
@@ -774,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_repetition": _q_corpus_repetition,
         "a9_pivot": _q_a9_pivot,
         "w4_sliding_rate": _q_w4_sliding_rate,
+        "emb_centroids": _q_emb_centroids,
     }
 
 
@@ -1359,6 +1372,13 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_tok / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
         FROM tk JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["emb_centroids"] = """
+        WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        x AS (SELECT label, CAST(i - 1 AS INT) AS dim, e[i] AS v
+              FROM d, (SELECT unnest(range(1, (SELECT max(len(CAST(embedding AS DOUBLE[]))) + 1 FROM embeddings))) AS i)
+              WHERE i <= len(e))
+        SELECT label, dim, round(avg(v), 6) AS centroid, count(*) AS n_vecs
+        FROM x GROUP BY label, dim"""
     sql["w4_sliding_rate"] = """
         SELECT event_id, user_id,
                count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
