@@ -199,6 +199,23 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_f11_levenshtein(spark, sf):
+    """Blocked edit-distance fuzzy match (the verify alternative to gram
+    Jaccard in entity linking): customer-name pairs within a nation block
+    at Levenshtein distance <= 2.  Blocking keeps the pair space
+    |block|^2, not |corpus|^2 — same containment discipline as LSH."""
+    c = graft.load(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = c.select(F.col("c_nationkey").alias("blk"), F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_nationkey").alias("blk"), F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def _q_emb_centroids(spark, sf):
     """Per-label per-dimension embedding centroids (the IVF/clustering
     building block): posexplode to long form, one partial-agg mean — no
@@ -787,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_pivot": _q_a9_pivot,
         "w4_sliding_rate": _q_w4_sliding_rate,
         "emb_centroids": _q_emb_centroids,
+        "f11_levenshtein": _q_f11_levenshtein,
     }
 
 
@@ -1372,6 +1390,12 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_tok / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
         FROM tk JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["f11_levenshtein"] = """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2"""
     sql["emb_centroids"] = """
         WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         x AS (SELECT label, CAST(i - 1 AS INT) AS dim, e[i] AS v
