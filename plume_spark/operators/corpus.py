@@ -276,10 +276,15 @@ def repetition_score(
     whole-stage codegen, zero shuffles — so it runs at scan speed over
     100 TB."""
     toks = F.filter(F.split(F.col(text), " "), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # guard: F.sequence(1, 0) DESCENDS (1, 0), feeding slice() an illegal
+    # start of 0 — docs shorter than n tokens must yield an empty gram list
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)
     rep = F.when(
         n_grams > 0,

@@ -639,3 +639,20 @@ def test_corpus_pipeline_composition(spark):
     joined = split.join(packed, "doc_id")
     assert joined.count() == n_sel  # 1:1 across stages
     assert joined.filter("split = 'val'").count() > 0
+
+
+def test_all_contract_plans_are_arrow_only(spark):
+    """Every contract query's physical plan is free of row-at-a-time Python
+    (BatchEvalPython); Python may appear only as Arrow-batched nodes.  Runs
+    at sf0.001 and skips the two queries that execute side effects at plan
+    time (streaming drain, driver-kernel collect paths are still covered by
+    their own tests)."""
+    import __spark_entry__ as entrymod
+
+    skip = {"stream_ordered_release"}  # starts a real stream on invocation
+    for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, (name, plan[:1500])

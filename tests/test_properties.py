@@ -229,3 +229,39 @@ def test_triangle_count_matches_bruteforce(spark, raw_edges):
     e = spark.createDataFrame(edges, ["a", "b"])
     got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
     assert got == expected
+
+
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_repetition_and_logprob_match_python(spark, texts):
+    """repetition_score and unigram_logprob == direct python references."""
+    import math
+
+    from plume_spark.operators import corpus
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+    rep = {r["doc_id"]: (r["n_ngrams"], r["rep_frac"])
+           for r in corpus.repetition_score(docs, n=2).collect()}
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        grams = [" ".join(toks[j:j + 2]) for j in range(max(len(toks) - 1, 0))]
+        frac = round((len(grams) - len(set(grams))) / len(grams), 6) if grams else 0.0
+        assert rep[i] == (len(grams), frac)
+
+    lp = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+          for r in corpus.unigram_logprob(docs).collect()}
+    freq: dict[str, int] = {}
+    for t in texts:
+        for x in t.split(" "):
+            if x:
+                freq[x] = freq.get(x, 0) + 1
+    total = sum(freq.values())
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        if not toks:
+            assert i not in lp
+            continue
+        want = round(sum(math.log(freq[x] / total) for x in toks) / len(toks), 6)
+        assert lp[i][0] == len(toks)
+        assert abs(lp[i][1] - want) <= 1e-6
