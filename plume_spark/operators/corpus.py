@@ -32,6 +32,18 @@ from plume_spark.operators.dedup import poly_hash, shingles
 EVAL_MOD = 29
 
 
+def _doc_tokens(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """(doc_id, tok) with multiplicity (dedup.tokens minus the distinct) —
+    the shared token-explosion for the frequency-based scorers."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
 def ngram_overlap(
     train: DataFrame,
     evalset: DataFrame,
@@ -46,7 +58,7 @@ def ngram_overlap(
     least one overlapping gram.  The eval gram set is deduplicated across
     docs and broadcast (eval suites are dictionary-sized); the corpus side
     streams through one shuffle-free semi-ish inner join + one aggregate."""
-    tg = shingles(train, n=n, text=text, id_col=id_col)
+    tg = shingles(train, n=n, text=text, id_col=id_col).localCheckpoint(eager=True)  # 2 consumers
     eval_grams = shingles(evalset, n=n, text=text, id_col=id_col).select("tok").distinct()
     sizes = tg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
@@ -81,7 +93,7 @@ def boilerplate_score(
     its semi-join is left to the planner (broadcast only when it fits).
     The web-scale use: drop or down-weight docs whose text is
     mostly navigation chrome / license headers duplicated across sites."""
-    sh = shingles(df, n=n, text=text, id_col=id_col)
+    sh = shingles(df, n=n, text=text, id_col=id_col).localCheckpoint(eager=True)  # 3 consumers
     common = (
         sh.groupBy("tok")
         .agg(F.count("*").alias("n_docs"))  # sh is distinct per (doc, tok)
@@ -135,10 +147,7 @@ def tfidf_topk(
     Both aggregates are partial (map-side combined); the per-token document
     frequency table is derived from the tf table itself — one pass over the
     token stream feeds both."""
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-    )
+    toks = _doc_tokens(df, text, id_col)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_docs"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
@@ -248,10 +257,7 @@ def unigram_logprob(
     corpus counts; per-doc means) and one broadcast scalar — the token
     frequency table joins at the planner's discretion (corpus-vocabulary
     sized, like tfidf's df table)."""
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-    )
+    toks = _doc_tokens(df, text, id_col).localCheckpoint(eager=True)  # 2 consumers
     freq = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
     total = freq.agg(F.sum("n_tok").alias("n_total"))
     return (

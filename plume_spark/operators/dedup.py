@@ -289,8 +289,6 @@ def minhash_dedup(
     same bucket cap, so even LSH misses agree)."""
     if unit not in ("shingle3", "token"):
         raise ValueError(f"unit must be 'shingle3' or 'token', got {unit!r}")
-    if unit not in ("shingle3", "token"):
-        raise ValueError(f"unit must be 'shingle3' or 'token', got {unit!r}")
     tok = shingles(df, 3, text, id_col) if unit == "shingle3" else tokens(df, text, id_col)
     id_fn = portable_token_ids if portable_ids else hashed_token_ids
     tok = tok.localCheckpoint(eager=True)  # 3 verify-side consumers

@@ -46,6 +46,9 @@ def co_occurrence_edges(
             items.withColumn("_gsz", F.count(F.lit(1)).over(wg))
             .filter(F.col("_gsz") <= max_group_size)
             .drop("_gsz")
+            # consumed by both sides of the self-join below (same shape and
+            # reasoning as dedup._capped_bands)
+            .localCheckpoint(eager=True)
         )
     a = items.select("grp", F.col("item").alias("a"))
     b = items.select("grp", F.col("item").alias("b"))
@@ -64,7 +67,17 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     endpoint to the greater; a triangle x-y-z with rank x < y < z is found
     exactly once as wedge x->y->z closed by x->z.  Nodes in no triangle are
     absent (join with the node set to zero-fill if needed)."""
-    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+    # canonicalize: accept any orientation (including the symmetric both-ways
+    # representation) and drop self-loops — a doubled edge set would double
+    # every degree and count each triangle 8x
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -96,30 +109,42 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
-def cooccur_oracle_sql(items_sql: str, max_group_size: int = DEFAULT_MAX_GROUP_SIZE) -> str:
-    """ANSI-SQL twin of co_occurrence_edges over ``items_sql`` yielding
-    (grp, item) — generated next to the operator (same pattern as
-    components_oracle_sql) so the cap stays in lockstep."""
+def _items_cte(items_sql: str, max_group_size: int) -> str:
+    """Shared capped-items CTE prefix; a falsy cap disables the filter,
+    mirroring the engine's truthiness check exactly."""
+    cap = (
+        f"""items AS (SELECT i.grp, i.item FROM items0 i JOIN gsz USING (grp)
+                  WHERE gsz.n <= {max_group_size})"""
+        if max_group_size
+        else "items AS (SELECT grp, item FROM items0)"
+    )
     return f"""
         WITH items0 AS (SELECT DISTINCT grp, item FROM ({items_sql})),
         gsz AS (SELECT grp, count(*) AS n FROM items0 GROUP BY grp),
-        items AS (SELECT i.grp, i.item FROM items0 i JOIN gsz USING (grp)
-                  WHERE gsz.n <= {max_group_size})
+        {cap}"""
+
+
+def cooccur_oracle_sql(items_sql: str, max_group_size: int = DEFAULT_MAX_GROUP_SIZE) -> str:
+    """DuckDB-SQL twin of co_occurrence_edges over ``items_sql`` yielding
+    (grp, item) — generated next to the operator (same pattern as
+    components_oracle_sql) so the cap stays in lockstep."""
+    return (
+        _items_cte(items_sql, max_group_size)
+        + """
         SELECT a.item AS a, b.item AS b, count(*) AS n_groups
         FROM items a JOIN items b ON a.grp = b.grp AND a.item < b.item
         GROUP BY a.item, b.item"""
+    )
 
 
 def triangle_oracle_sql(items_sql: str, max_group_size: int = DEFAULT_MAX_GROUP_SIZE) -> str:
-    """ANSI-SQL twin of co_occurrence_edges + triangle_count over an
+    """DuckDB-SQL twin of co_occurrence_edges + triangle_count over an
     ``items_sql`` yielding (grp, item) — generated next to the operator so
-    the two stay in lockstep (same pattern as components_oracle_sql)."""
-    return f"""
-        WITH items0 AS MATERIALIZED (SELECT DISTINCT grp, item FROM ({items_sql})),
-        gsz AS (SELECT grp, count(*) AS n FROM items0 GROUP BY grp),
-        items AS MATERIALIZED (
-          SELECT i.grp, i.item FROM items0 i JOIN gsz USING (grp)
-          WHERE gsz.n <= {max_group_size}),
+    the two stay in lockstep.  (MATERIALIZED CTEs are DuckDB dialect — the
+    oracle runner is DuckDB; on another engine drop the keyword.)"""
+    return (
+        _items_cte(items_sql, max_group_size)
+        + f""",
         e AS MATERIALIZED (
           SELECT DISTINCT a.item AS a, b.item AS b
           FROM items a JOIN items b ON a.grp = b.grp AND a.item < b.item),
@@ -142,3 +167,4 @@ def triangle_oracle_sql(items_sql: str, max_group_size: int = DEFAULT_MAX_GROUP_
           UNION ALL SELECT y FROM tris
           UNION ALL SELECT z FROM tris)
         GROUP BY node"""
+    )

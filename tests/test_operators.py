@@ -611,6 +611,11 @@ def test_triangle_count_hand_computed(spark):
     e = spark.createDataFrame(edges, ["a", "b"])
     got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # symmetric both-ways input and self-loops must canonicalize, not octuple
+    sym = edges + [(b, a) for a, b in edges] + [(1, 1)]
+    e2 = spark.createDataFrame(sym, ["a", "b"])
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_count(e2).collect()}
+    assert got2 == got
 
     # co-occurrence: items sharing groups; hub group (> cap) dropped
     rows = [("g1", i) for i in (1, 2, 3)] + [("g2", i) for i in (2, 3)] + [
