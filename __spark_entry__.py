@@ -3,8 +3,9 @@
 ``queries()`` maps SURVEY.md §2 operator ids to runnable DataFrame builders;
 ``oracle_sql()`` carries the DuckDB-equivalent SQL (same column names/types,
 computed identically — rounding is CAST(... AS DOUBLE) because DuckDB round()
-returns DECIMAL).  Entries without oracle SQL are genuinely non-SQL ops
-(pandas-UDF pipelines); the driver records rows-only checks for those.
+returns DECIMAL).  Every queries() entry has an oracle_sql() twin — the
+streaming and pandas-UDF ops included (their oracles recompute the same
+values from the base tables).
 """
 
 from __future__ import annotations
@@ -190,7 +191,9 @@ def _q_w3_sessionize(spark, sf):
     flags into session ordinals — no self-join, no UDF."""
     e = graft.load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # fractional epoch seconds (micros / 1e6, bit-identical in both engines)
+    # — unix_timestamp truncates to whole seconds and shifts gap thresholds
+    ts_s = F.col("ts").cast("timestamp").cast("double")
     gap = ts_s - F.lag(ts_s).over(w)
     return (
         e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
@@ -221,10 +224,18 @@ def _q_emb_centroids(spark, sf):
     building block): posexplode to long form, one partial-agg mean — no
     array reassembly shuffle, columnar the whole way."""
     emb = graft.load(spark, sf, "embeddings")
+    # decimal sum / count instead of avg(double): float summation order
+    # varies with partitioning; the decimal sum is associative-exact, so the
+    # centroid is identical under any plan (a1/a8's determinism pattern)
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 6).alias("centroid"), F.count("*").alias("n_vecs"))
+        .agg(
+            F.round(
+                (F.sum(F.col("v").cast("decimal(27,12)")) / F.count("*")).cast("double"), 6
+            ).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
     )
 
 
@@ -233,7 +244,9 @@ def _q_w4_sliding_rate(spark, sf):
     preceding hour — a RANGE frame over event time (one window pass; the
     self-join formulation t2 uses is the non-window twin)."""
     e = graft.load(spark, sf, "events")
-    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # fractional epoch seconds — see w3: whole-second truncation moves the
+    # RANGE frame boundary relative to the oracle's epoch(ts)
+    ts_s = F.col("ts").cast("timestamp").cast("double")
     w = (
         Window.partitionBy("user_id")
         .orderBy(ts_s)
@@ -260,6 +273,10 @@ def _q_corpus_repetition(spark, sf):
 
 
 def _q_corpus_logprob(spark, sf):
+    # avg over ln() values cannot use the decimal-exact trick (logs are not
+    # decimal-representable); residual cross-engine risk is summation-order
+    # noise ~1e-14 against a 5e-7 rounding half-unit — flip probability
+    # ~1e-8 per row, accepted
     return corpus.unigram_logprob(graft.load(spark, sf, "documents"))
 
 
@@ -311,10 +328,22 @@ def _q_g2_components(spark, sf):
     exercises the real iterative salted label-propagation loop."""
     from plume_spark.operators.components import connected_components
 
-    e = graft.dag_edges(spark, sf).filter(
-        (F.col("obj") < graft.NODE_PART_OFFSET) | (F.col("obj") % 23 == 0)
+    # build from source tables so "is a part edge" is provenance, not an id
+    # ordinal (obj < NODE_PART_OFFSET breaks once o_orderkey spills past the
+    # offset at large sf, and would silently diverge from the oracle)
+    o = graft.load(spark, sf, "orders")
+    li = graft.load(spark, sf, "lineitem")
+    e1 = o.select(
+        F.col("o_custkey").alias("subj"),
+        (F.lit(graft.NODE_ORDER_OFFSET) + F.col("o_orderkey")).alias("obj"),
     )
-    return connected_components(e, src="subj", dst="obj", driver_max_edges=0)
+    e2 = li.select(
+        (F.lit(graft.NODE_ORDER_OFFSET) + F.col("l_orderkey")).alias("subj"),
+        (F.lit(graft.NODE_PART_OFFSET) + F.col("l_partkey")).alias("obj"),
+    ).filter(F.col("obj") % 23 == 0)
+    return connected_components(
+        e1.unionByName(e2), src="subj", dst="obj", driver_max_edges=0
+    )
 
 
 def _q_g3_triangles(spark, sf):
@@ -655,14 +684,20 @@ def _q_stream_ordered_release(spark, sf):
 
     from plume_spark.streaming import ordered_turn_release, read_transcript_stream
 
-    # best-effort reclaim of PREVIOUS invocations' work dirs (this one's
-    # output parquet must outlive the function — the caller collects the
-    # returned DataFrame lazily — so it can only be cleaned next time)
-    for stale in glob.glob(f"{tempfile.gettempdir()}/plume-stream-contract-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+    # best-effort reclaim of DEAD processes' work dirs (this one's output
+    # parquet must outlive the function — the caller collects the returned
+    # DataFrame lazily — so it is cleaned by a later run).  Dirs embed the
+    # owning pid; a live concurrent process keeps its dirs.
+    for stale in glob.glob(f"{tempfile.gettempdir()}/plume-stream-contract-*-p*"):
+        try:
+            owner = int(stale.rsplit("-p", 1)[1])
+        except ValueError:
+            continue
+        if owner != os.getpid() and not os.path.exists(f"/proc/{owner}"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     t = graft.kg_transcripts(spark, sf)
-    d = tempfile.mkdtemp(prefix="plume-stream-contract-")
+    d = tempfile.mkdtemp(prefix="plume-stream-contract-", suffix=f"-p{os.getpid()}")
     inbox, ckpt, outdir = f"{d}/in", f"{d}/ck", f"{d}/out"
     t.filter("turn_idx >= 1").write.mode("append").parquet(inbox)
     time.sleep(0.1)
@@ -820,6 +855,10 @@ WITH transcripts AS (
          concat_ws(' ', event_type, props) AS text
   FROM events)
 """
+
+# the oracle SQL below hardcodes the node-id offsets as literals; fail at
+# import if graft's constants ever move so the strings can't silently drift
+assert graft.NODE_ORDER_OFFSET == 1_000_000 and graft.NODE_PART_OFFSET == 2_000_000
 
 _EDGES_CTE = """
 WITH edges AS (
@@ -1401,7 +1440,10 @@ def oracle_sql() -> dict[str, str]:
         x AS (SELECT label, CAST(i - 1 AS INT) AS dim, e[i] AS v
               FROM d, (SELECT unnest(range(1, (SELECT max(len(CAST(embedding AS DOUBLE[]))) + 1 FROM embeddings))) AS i)
               WHERE i <= len(e))
-        SELECT label, dim, round(avg(v), 6) AS centroid, count(*) AS n_vecs
+        SELECT label, dim,
+               round(CAST(sum(CAST(v AS DECIMAL(27,12))) / count(*) AS DOUBLE), 6)
+                 AS centroid,
+               count(*) AS n_vecs
         FROM x GROUP BY label, dim"""
     sql["w4_sliding_rate"] = """
         SELECT event_id, user_id,
@@ -1497,7 +1539,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_groups"] = components_oracle_sql(
         f"SELECT doc_a AS subj, doc_b AS obj FROM (WITH {pair_edges}) pe",
         n_iters=10,
-    ).replace("SELECT node, label AS component FROM", "SELECT node AS doc_id, label AS keeper_id FROM")
+        node_col="doc_id",
+        comp_col="keeper_id",
+    )
     # incremental near-dup: identical banding/cap/star pipeline to
     # dedup_minhash_lsh, restricted to pairs touching the "new batch"
     # (doc_id % 4 == 0) and verified over token-id sets (the engine's

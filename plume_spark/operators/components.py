@@ -172,7 +172,12 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
-def components_oracle_sql(edges_sql: str, n_iters: int = 20) -> str:
+def components_oracle_sql(
+    edges_sql: str,
+    n_iters: int = 20,
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> str:
     """ANSI-SQL equivalent of the distributed label-propagation loop,
     unrolled to ``n_iters`` fixed iterations (the same pattern as
     pagerank_oracle_sql): l_{i+1}(v) = least(l_i(v), min over neighbors).
@@ -204,5 +209,5 @@ def components_oracle_sql(edges_sql: str, n_iters: int = 20) -> str:
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT node, label AS component FROM l{n_iters}"
+        + f"\nSELECT node AS {node_col}, label AS {comp_col} FROM l{n_iters}"
     )

@@ -72,12 +72,16 @@ def hot_keys(df: DataFrame, key: str, top_n: int = 20, min_count: int = 2) -> Da
 
     Columns: key_value (string), cnt, share (fraction of all rows, 6dp).
     """
-    total = df.count()
+    # total rides in the plan as a broadcast one-row cross join: building
+    # this DataFrame stays lazy (no driver-side count at construction time)
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
     return (
         df.groupBy(F.col(key).cast("string").alias("key_value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
-        .withColumn("share", F.round(F.col("cnt") / F.lit(total), 6))
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("_total"), 6))
+        .drop("_total")
         .orderBy(F.col("cnt").desc(), F.col("key_value"))
         .limit(top_n)
     )
