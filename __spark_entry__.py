@@ -202,6 +202,19 @@ def _q_w3_sessionize(spark, sf):
     )
 
 
+def _q_f5_json_payload(spark, sf):
+    """JSON payload construction + parsing (F5, TigerGraphDriver.scala:94-145
+    analog): build a JSON document per event, then extract fields back —
+    round-trip through the engine's JSON codec, all codegen."""
+    e = graft.load(spark, sf, "events")
+    doc = F.to_json(F.struct(F.col("event_type").alias("t"), F.col("value").alias("v")))
+    return e.select(
+        "event_id",
+        F.get_json_object(doc, "$.t").alias("t"),
+        F.get_json_object(doc, "$.v").cast("double").alias("v"),
+    )
+
+
 def _q_f11_levenshtein(spark, sf):
     """Blocked edit-distance fuzzy match (the verify alternative to gram
     Jaccard in entity linking): customer-name pairs within a nation block
@@ -840,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_sliding_rate": _q_w4_sliding_rate,
         "emb_centroids": _q_emb_centroids,
         "f11_levenshtein": _q_f11_levenshtein,
+        "f5_json_payload": _q_f5_json_payload,
     }
 
 
@@ -1429,6 +1443,14 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_tok / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
         FROM tk JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["f5_json_payload"] = """
+        WITH j AS (SELECT event_id,
+                          to_json(struct_pack(t := event_type, v := value)) AS doc
+                   FROM events)
+        SELECT event_id,
+               json_extract_string(doc, '$.t') AS t,
+               CAST(json_extract(doc, '$.v') AS DOUBLE) AS v
+        FROM j"""
     sql["f11_levenshtein"] = """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
