@@ -166,17 +166,36 @@ def minhash_signatures(tok_ids: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def _capped_bands(
-    sig: DataFrame, band_rows: int, max_bucket_size: int
-) -> DataFrame:
-    """(doc_id, band, band_sig) with oversized buckets dropped — the shared
-    banding step of the full and incremental candidate generators."""
-    bands = (
+def banded_signatures(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band, band_sig) — the uncapped LSH band table.  Deterministic
+    per doc content, so it can be PERSISTED as derived state (DedupIndex
+    stores it bucketed by xxhash64(band_sig)) and probed incrementally
+    instead of being recomputed over the whole signature table per batch."""
+    return (
         sig.withColumn("band", (F.col("h") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("rows"))
         .select("doc_id", "band", F.col("rows.minhash").alias("band_sig"))
     )
+
+
+def doc_gsets(tok_ids: DataFrame) -> DataFrame:
+    """(doc_id, gset_hash): 64-bit fingerprint of the doc's sorted token-id
+    set — the persistable form of the exact-duplicate star-rescue key.  Two
+    docs with equal token sets always collide (same sorted array); unequal
+    sets collide with ~2^-64 probability, and any false candidate that
+    produces is killed by the exact Jaccard verify."""
+    return tok_ids.groupBy("doc_id").agg(
+        F.xxhash64(F.sort_array(F.collect_set("tok_id"))).alias("gset_hash")
+    )
+
+
+def _capped_bands(
+    sig: DataFrame, band_rows: int, max_bucket_size: int
+) -> DataFrame:
+    """(doc_id, band, band_sig) with oversized buckets dropped — the banding
+    step of the full-corpus candidate generator."""
+    bands = banded_signatures(sig, band_rows)
     if max_bucket_size:
         # One window pass: count per (band, band_sig) partition, drop rows of
         # oversized buckets.  Replaces a checkpoint + groupBy-count + semi-join
@@ -317,47 +336,48 @@ def minhash_state(
     return minhash_signatures(ids), ids
 
 
-def incremental_neardup(
-    index_sigs: DataFrame | None,
-    index_toks: DataFrame | None,
-    new_sigs: DataFrame,
-    new_toks: DataFrame,
-    tau: float = JACCARD_TAU,
-    band_rows: int = BAND_ROWS,
+def incremental_candidates(
+    new_bands: DataFrame,
+    new_gsets: DataFrame,
+    new_ids: DataFrame,
+    index_bands: DataFrame | None = None,
+    index_gsets: DataFrame | None = None,
     max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
-    """Near-dup pairs that touch at least one NEW doc, identical to what a
-    full re-run over index ∪ new would emit for those pairs.
+    """Candidate near-dup pairs touching at least one NEW doc, from the
+    persisted derived state — O(batch + matched index rows), never O(index).
 
-    Candidate generation probes only the new docs' band rows against the
-    combined band table (an asymmetric join: |new| × bucket, not |all|²),
-    the bucket cap is computed over the union exactly as a full run would,
-    and the exact-duplicate star rescue keeps only edges touching new docs.
-    Verification is exact Jaccard over token-id sets.  With no index (both
-    None) this degenerates to the full pipeline over ``new`` alone — the
-    property the equivalence test pins down.
-
-    PRECONDITION: index and new must be doc-disjoint per table (no doc_id on
-    both sides of either union).  The function does NOT dedupe the unions —
-    doing so would shuffle the whole index every call.  stream_dedup
-    enforces the precondition with narrow anti-joins before calling (its
-    crash-replay path re-lands already-folded docs; filtering them out there
-    costs O(batch), not O(corpus)).
-
-    The combined token set is consumed several times downstream (star
-    rescue, per-doc sizes, both sides of the verify join): it is cached
-    here; callers running many invocations in one session should clear or
-    unpersist between rounds (stream_dedup does)."""
-    sigs = new_sigs if index_sigs is None else index_sigs.unionByName(new_sigs)
-    toks = new_toks if index_toks is None else index_toks.unionByName(new_toks)
-    # consumed by the star rescue and all three verify-side reads;
-    # localCheckpoint so the blocks free themselves when unreferenced
-    toks = toks.localCheckpoint(eager=True)
-    new_ids = new_toks.select("doc_id").distinct()
-    bands = _capped_bands(sigs, band_rows, max_bucket_size)
-    probe = bands.join(new_ids, "doc_id", "left_semi")
+    Inputs are the batch's band table / gset fingerprints / doc ids plus the
+    index's band table and gset table (callers with a DedupIndex pass
+    bucket-pruned reads; ``None`` means empty index).  The bucket cap is
+    evaluated per batch-touched (band, band_sig) key over index ∪ new rows
+    of that key — identical to the count a full re-run computes for it,
+    because rows of untouched keys can never join the probe side.  The
+    exact-duplicate star rescue groups by gset fingerprint (min member →
+    others, edges touching new docs only).  Output is UNVERIFIED — feed it
+    to jaccard_verify."""
+    new_bands = new_bands.select("doc_id", "band", "band_sig")
+    if index_bands is not None:
+        rel_old = index_bands.select("doc_id", "band", "band_sig").join(
+            new_bands.select("band", "band_sig").distinct(),
+            ["band", "band_sig"],
+            "left_semi",
+        )
+        all_rel = rel_old.unionByName(new_bands)
+    else:
+        all_rel = new_bands
+    if max_bucket_size:
+        wb = Window.partitionBy("band", "band_sig")
+        all_rel = (
+            all_rel.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    # consumed by both sides of the probe join
+    all_rel = all_rel.localCheckpoint(eager=True)
+    probe = all_rel.join(new_ids, "doc_id", "left_semi")
     a = probe.select(F.col("doc_id").alias("da"), "band", "band_sig")
-    b = bands.select(F.col("doc_id").alias("db"), "band", "band_sig")
+    b = all_rel.select(F.col("doc_id").alias("db"), "band", "band_sig")
     cand = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("da") != F.col("db"))
@@ -366,12 +386,19 @@ def incremental_neardup(
         )
     )
     if max_bucket_size:
-        gsets = toks.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("tok_id")).alias("gset")
-        )
+        new_gsets = new_gsets.select("doc_id", "gset_hash")
+        if index_gsets is not None:
+            rel_g = index_gsets.select("doc_id", "gset_hash").join(
+                new_gsets.select("gset_hash").distinct(), "gset_hash", "left_semi"
+            )
+            all_g = rel_g.unionByName(new_gsets)
+        else:
+            all_g = new_gsets
         star = (
-            gsets.groupBy("gset")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+            all_g.groupBy("gset_hash")
+            # collect_set: a crash-replayed doc may sit on both sides; a
+            # duplicated member would otherwise emit a degenerate self-pair
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("members"))
             .filter(F.size("members") > 1)
             .select(
                 F.element_at("members", 1).alias("doc_a"),
@@ -384,7 +411,48 @@ def incremental_neardup(
             star.join(new_b, "doc_b", "left_semi")
         )
         cand = cand.unionByName(star_touch)
-    pairs = cand.distinct()
+    return cand.distinct()
+
+
+def incremental_neardup(
+    index_sigs: DataFrame | None,
+    index_toks: DataFrame | None,
+    new_sigs: DataFrame,
+    new_toks: DataFrame,
+    tau: float = JACCARD_TAU,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup pairs that touch at least one NEW doc, identical to what a
+    full re-run over index ∪ new would emit for those pairs.
+
+    This is the stateless DataFrame form: it derives the index band/gset
+    tables from the raw signature/token frames (one O(index) banding pass).
+    stream_dedup does NOT go through it — it persists the band and gset
+    tables in DedupIndex and calls incremental_candidates on bucket-pruned
+    reads, making per-epoch candidate generation O(batch).  With no index
+    (both None) this degenerates to the full pipeline over ``new`` alone —
+    the property the equivalence test pins down.
+
+    PRECONDITION: index and new must be doc-disjoint per table (no doc_id on
+    both sides of either union).  The function does NOT dedupe the unions —
+    doing so would shuffle the whole index every call.  Callers with
+    possibly-overlapping sides (crash replay) must anti-join first, which
+    costs O(batch), not O(corpus).
+
+    The combined token set is consumed several times by the verify stage:
+    it is localCheckpoint-ed here and freed by the ContextCleaner once the
+    result goes out of scope — no session-global cache is involved."""
+    new_bands = banded_signatures(new_sigs, band_rows)
+    idx_bands = banded_signatures(index_sigs, band_rows) if index_sigs is not None else None
+    new_gsets = doc_gsets(new_toks)
+    idx_gsets = doc_gsets(index_toks) if index_toks is not None else None
+    new_ids = new_toks.select("doc_id").distinct()
+    pairs = incremental_candidates(
+        new_bands, new_gsets, new_ids, idx_bands, idx_gsets, max_bucket_size
+    )
+    toks = new_toks if index_toks is None else index_toks.unionByName(new_toks)
+    toks = toks.localCheckpoint(eager=True)
     return jaccard_verify(pairs, toks.withColumnRenamed("tok_id", "tok"), tau)
 
 

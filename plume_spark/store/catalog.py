@@ -226,26 +226,51 @@ class SnapshotTable:
         ).first()
         return int(row["b"])
 
-    def files_for(self, point: dict | None = None, snapshot_id: int | None = None) -> list[str]:
+    def buckets_of(self, df: DataFrame, col: str) -> set[int]:
+        """Bucket ids the given key column's values hash into — computed with
+        the SAME xxhash64/pmod Spark applied at write time.  One small job
+        over ``df`` (distinct over at most n_buckets ints); feed the result to
+        ``read(buckets=...)`` for a batch-probe pruned scan: the multi-key
+        generalization of ``read(point=...)``."""
+        n = self.layout.n_buckets if self.layout else 16
+        rows = (
+            df.select(F.pmod(F.xxhash64(col), F.lit(n)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        )
+        return {int(r["b"]) for r in rows}
+
+    def files_for(
+        self,
+        point: dict | None = None,
+        snapshot_id: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> list[str]:
         """Data files (relative paths) that can contain rows matching the
         equality ``point`` predicates — bucket pruning on the layout key,
-        min/max pruning on stats columns.  The pruning contract is
-        conservative: a pruned-out file provably holds no matching row."""
+        min/max pruning on stats columns.  ``buckets`` prunes to an explicit
+        bucket-id set (from ``buckets_of``) — the probe side of an
+        incremental join touches only the file-buckets the batch's keys hash
+        into.  The pruning contract is conservative: a pruned-out file
+        provably holds no matching row (unbucketed legacy files always
+        survive bucket pruning)."""
         version = self._current_version() if snapshot_id is None else snapshot_id
         entries = self._entries(self._manifest(version))
-        if not point:
+        if not point and buckets is None:
             return [e["path"] for e in entries]
         lay = self.layout
         want_bucket = None
-        if lay and lay.bucket_by and lay.bucket_by in point:
+        if lay and lay.bucket_by and point and lay.bucket_by in point:
             want_bucket = self._bucket_of(point[lay.bucket_by])
         keep = []
         for e in entries:
             if want_bucket is not None and e.get("bucket") is not None and e["bucket"] != want_bucket:
                 continue
+            if buckets is not None and e.get("bucket") is not None and e["bucket"] not in buckets:
+                continue
             stats = e.get("stats") or {}
             pruned = False
-            for col, val in point.items():
+            for col, val in (point or {}).items():
                 rng = stats.get(col)
                 if rng is not None and not (rng[0] <= val <= rng[1]):
                     pruned = True
@@ -254,12 +279,18 @@ class SnapshotTable:
                 keep.append(e["path"])
         return keep
 
-    def read(self, snapshot_id: int | None = None, point: dict | None = None) -> DataFrame:
-        """Snapshot read; ``point`` = {col: value} equality hints used ONLY to
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        point: dict | None = None,
+        buckets: set[int] | None = None,
+    ) -> DataFrame:
+        """Snapshot read; ``point`` = {col: value} equality hints and
+        ``buckets`` = bucket-id set (from ``buckets_of``) are used ONLY to
         skip files (the returned frame still applies no filter itself — pair
-        with ``.filter`` for exactness; pruning is conservative so the
+        with ``.filter``/join for exactness; pruning is conservative so the
         filtered result is identical to a full scan)."""
-        files = self.files_for(point, snapshot_id)
+        files = self.files_for(point, snapshot_id, buckets)
         if not files:
             if self.schema is None:
                 raise ValueError(f"empty table {self.path} with no declared schema")
@@ -267,15 +298,27 @@ class SnapshotTable:
         paths = [os.path.join(self.path, f) for f in files]
         return self.spark.read.parquet(*paths)
 
-    def merge_insert(self, df: DataFrame, keys: list[str]) -> int:
+    def merge_insert(self, df: DataFrame, keys: list[str], prune: bool = False) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (the idempotent-upsert path,
         Cypher MERGE at drivers/neo4j/.../Neo4jDriver.scala:119).
 
         Implemented append-only: anti-join the incoming rows against current
         keys, append survivors.  Incoming duplicates are collapsed first, so
         a double-write is a no-op (idempotency contract).
+
+        ``prune=True`` (requires the layout bucket key among ``keys``) reads
+        only the file-buckets the incoming keys hash into for the anti-join —
+        a matching current row must share the incoming row's bucket, so the
+        pruned anti-join is exact while the MERGE cost tracks the BATCH, not
+        the table (the per-epoch streaming-ingest path).  The incoming frame
+        is consumed twice (bucket probe + anti-join): pass something cheap to
+        recompute or already checkpointed.
         """
-        current = self.read().select(*keys)
+        lay = self.layout
+        if prune and lay and lay.bucket_by and lay.bucket_by in keys:
+            current = self.read(buckets=self.buckets_of(df, lay.bucket_by)).select(*keys)
+        else:
+            current = self.read().select(*keys)
         new = df.dropDuplicates(keys).join(current, keys, "left_anti")
         return self.append(new)
 

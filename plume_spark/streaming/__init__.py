@@ -5,6 +5,7 @@ from plume_spark.streaming.ingest import (
 )
 from plume_spark.streaming.dedup import (
     DedupIndex,
+    fold_batch,
     read_document_stream,
     stream_dedup,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "stream_build",
     "stream_turn_counts",
     "DedupIndex",
+    "fold_batch",
     "read_document_stream",
     "stream_dedup",
     "ordered_turn_release",

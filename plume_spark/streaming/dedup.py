@@ -2,8 +2,8 @@
 ever-growing MinHash index.
 
 The batch identity this builds on (operators/dedup.py): every near-dup pair
-touches the later-arriving doc's batch, so emitting incremental_neardup
-pairs per epoch and folding each batch into the index afterwards yields, in
+touches the later-arriving doc's batch, so emitting each batch's
+incremental pairs and folding the batch into the index afterwards yields, in
 aggregate, the pair set a full re-run over everything would produce (tested
 against the full path in tests/test_streaming.py).  One deliberate
 divergence: the band-bucket cap is evaluated ONLINE.  A pair emitted while
@@ -22,16 +22,22 @@ no-op; it is NOT an update mechanism.
 
 Exactly-once without a transactional sink, same recipe as ingest.py:
 * the file source's checkpoint gives at-least-once epoch replay;
-* all three sinks land via MERGE on natural keys — pairs on
-  (doc_a, doc_b), signatures on (doc_id, h), token ids on
-  (doc_id, tok_id) — so a replayed epoch is a no-op;
-* a crash BETWEEN an index MERGE and the checkpoint commit replays the
-  epoch with its batch partially or fully folded in; the per-table
-  anti-join in _epoch drops exactly the already-folded rows, so the
-  replay completes the fold and re-derives identical pairs.
+* every sink lands via MERGE on natural keys (pairs on (doc_a, doc_b),
+  signatures on (doc_id, h), tokens on (doc_id, tok_id), bands on
+  (doc_id, band, sig_hash), gsets on (doc_id, gset_hash), the doc
+  registry on doc_id), so a replayed epoch is a no-op;
+* the registry write comes LAST: a crash mid-fold leaves the doc
+  unregistered, the replay re-derives it, and the anti-joins against
+  ``fresh`` on the index side make the recompute bit-identical.
 
-Per-epoch work is pure DataFrame plans (signatures, the asymmetric band
-probe, MERGEs); the foreachBatch closure iterates no rows.
+Per-epoch cost is O(batch + matched file-buckets), NEVER O(index):
+candidate generation probes the persisted band/gset tables through
+bucket-pruned reads instead of re-banding the corpus's signatures, the
+disjointness check is one pruned anti-join against the compact doc
+registry, and verify fetches token sets for candidate participants only.
+All of it is pure DataFrame plans; the foreachBatch closure iterates no
+rows and touches no session-global state (no clearCache — the epoch's
+localCheckpoints are freed by the ContextCleaner when unreferenced).
 """
 
 from __future__ import annotations
@@ -42,7 +48,10 @@ from pyspark.sql import types as T
 
 from plume_spark.operators.dedup import (
     JACCARD_TAU,
-    incremental_neardup,
+    banded_signatures,
+    doc_gsets,
+    incremental_candidates,
+    jaccard_verify,
     minhash_state,
 )
 from plume_spark.store.catalog import SnapshotTable
@@ -72,8 +81,20 @@ def read_document_stream(
 
 
 class DedupIndex:
-    """The persisted dedup state: signatures + token ids + emitted pairs,
-    three snapshot tables under one directory."""
+    """The persisted dedup state under one directory, six snapshot tables:
+
+    raw state    — sigs (doc_id, h, minhash), toks (doc_id, tok_id);
+    derived state— bands (doc_id, band, band_sig, sig_hash) bucketed by
+                   sig_hash, gsets (doc_id, gset_hash) bucketed by gset_hash:
+                   the LSH band table and exact-dup fingerprints persisted so
+                   per-epoch candidate generation probes file-buckets instead
+                   of re-banding the whole signature table;
+    registry     — docs (doc_id) bucketed by doc_id: the compact membership
+                   set behind the O(batch) disjointness/replay check (written
+                   LAST per epoch, so an unregistered doc is re-folded
+                   idempotently after a crash);
+    output       — pairs (doc_a, doc_b, jaccard).
+    """
 
     SIGS = T.StructType(
         [
@@ -85,6 +106,18 @@ class DedupIndex:
     TOKS = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("tok_id", T.LongType())]
     )
+    BANDS = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_sig", T.ArrayType(T.LongType())),
+            T.StructField("sig_hash", T.LongType()),
+        ]
+    )
+    GSETS = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("gset_hash", T.LongType())]
+    )
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType())])
     PAIRS = T.StructType(
         [
             T.StructField("doc_a", T.LongType()),
@@ -94,26 +127,109 @@ class DedupIndex:
     )
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
-        # bucket by doc_id: the epoch's anti-join and MERGE keys are doc-keyed,
-        # so co-located buckets keep both proportional to touched buckets, and
-        # a point read on one doc opens 1/n of the files (the same index
-        # recast as the graph store's entities/triples layouts)
+        # every table is bucketed on ITS probe key — doc-keyed tables by
+        # doc_id, the band table by sig_hash, gset fingerprints by gset_hash —
+        # so each per-epoch probe/MERGE opens only the file-buckets the
+        # batch's keys hash into (the same index idea as the graph store's
+        # entities/triples layouts)
         from plume_spark.store.catalog import TableLayout
 
-        doc_layout = TableLayout(
-            bucket_by="doc_id", n_buckets=n_buckets, sort_by=("doc_id",),
-            stats_cols=("doc_id",),
+        def lay(key: str, sort: tuple = ()) -> TableLayout:
+            return TableLayout(
+                bucket_by=key, n_buckets=n_buckets,
+                sort_by=sort or (key,), stats_cols=(key,),
+            )
+
+        self.sigs = SnapshotTable(spark, f"{path}/sigs", schema=self.SIGS, layout=lay("doc_id"))
+        self.toks = SnapshotTable(spark, f"{path}/toks", schema=self.TOKS, layout=lay("doc_id"))
+        self.bands = SnapshotTable(spark, f"{path}/bands", schema=self.BANDS, layout=lay("sig_hash"))
+        self.gsets = SnapshotTable(spark, f"{path}/gsets", schema=self.GSETS, layout=lay("gset_hash"))
+        self.docs = SnapshotTable(spark, f"{path}/docs", schema=self.DOCS, layout=lay("doc_id"))
+        self.pairs = SnapshotTable(
+            spark, f"{path}/pairs", schema=self.PAIRS, layout=lay("doc_a", ("doc_a", "doc_b"))
         )
-        pair_layout = TableLayout(
-            bucket_by="doc_a", n_buckets=n_buckets, sort_by=("doc_a", "doc_b"),
-            stats_cols=("doc_a",),
-        )
-        self.sigs = SnapshotTable(spark, f"{path}/sigs", schema=self.SIGS, layout=doc_layout)
-        self.toks = SnapshotTable(spark, f"{path}/toks", schema=self.TOKS, layout=doc_layout)
-        self.pairs = SnapshotTable(spark, f"{path}/pairs", schema=self.PAIRS, layout=pair_layout)
+
+    def tables(self) -> tuple[SnapshotTable, ...]:
+        return (self.sigs, self.toks, self.bands, self.gsets, self.docs, self.pairs)
 
     def has_index(self) -> bool:
         return self.sigs.row_count() > 0
+
+
+def fold_batch(index: DedupIndex, batch_df: DataFrame, tau: float = JACCARD_TAU) -> None:
+    """Fold one batch of documents into the index: emit its near-dup pairs
+    and persist its raw + derived state.  Idempotent under replay; per-call
+    cost is O(batch + matched file-buckets), never O(index).  This is the
+    per-epoch body of stream_dedup, exposed so batch callers (periodic crawl
+    drops) and the scale probe can drive it without a streaming query."""
+    # O(batch) disjointness/replay check: one anti-join against the
+    # compact doc registry, pruned to the file-buckets the batch's ids
+    # hash into — never a corpus-wide distinct.  A replayed doc that was
+    # fully folded (docs row present — docs is written LAST) drops out
+    # here; a partially folded one is re-derived and every write below
+    # is a keyed MERGE, so the replay completes the fold idempotently.
+    new_ids = batch_df.select("doc_id").distinct()
+    registered = index.docs.read(
+        buckets=index.docs.buckets_of(new_ids, "doc_id")
+    ).select("doc_id")
+    fresh = new_ids.join(registered, "doc_id", "left_anti").localCheckpoint(eager=True)
+    if fresh.first() is None:
+        return
+    nsigs, ntoks = minhash_state(batch_df.join(fresh, "doc_id", "left_semi"))
+    # each consumed by candidate gen AND the index fold: materialize once
+    nsigs = nsigs.localCheckpoint(eager=True)
+    ntoks = ntoks.localCheckpoint(eager=True)
+    nbands = (
+        banded_signatures(nsigs)
+        .withColumn("sig_hash", F.xxhash64("band_sig"))
+        .localCheckpoint(eager=True)
+    )
+    ngsets = doc_gsets(ntoks).localCheckpoint(eager=True)
+    # candidate generation probes the PERSISTED derived state, reading
+    # only the file-buckets the batch's band/gset fingerprints hash into —
+    # per-epoch cost tracks the batch and its matched buckets, not the
+    # index (the round-2 O(corpus)-rebanding fix).  The anti-joins against
+    # `fresh` make a crash replay bit-identical: rows the interrupted
+    # epoch already folded are excluded from the index side again.
+    idx_bands = index.bands.read(
+        buckets=index.bands.buckets_of(nbands, "sig_hash")
+    ).join(fresh, "doc_id", "left_anti")
+    idx_gsets = index.gsets.read(
+        buckets=index.gsets.buckets_of(ngsets, "gset_hash")
+    ).join(fresh, "doc_id", "left_anti")
+    cand = incremental_candidates(
+        nbands, ngsets, fresh, idx_bands, idx_gsets
+    ).localCheckpoint(eager=True)
+    # exact-Jaccard verify needs token sets only for the candidates'
+    # STORED participants: fetch them bucket-pruned, batch side from
+    # this epoch's frame
+    stored_part = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(fresh, "doc_id", "left_anti")
+    )
+    idx_toks = index.toks.read(
+        buckets=index.toks.buckets_of(stored_part, "doc_id")
+    ).join(stored_part, "doc_id", "left_semi")
+    toks = ntoks.unionByName(idx_toks).withColumnRenamed("tok_id", "tok")
+    new_pairs = jaccard_verify(cand, toks, tau=tau).localCheckpoint(eager=True)
+    # pairs first, registration last; every MERGE anti-joins within the
+    # incoming keys' file-buckets only (prune=True), so a replayed epoch
+    # is a keyed no-op at O(batch) cost
+    index.pairs.merge_insert(
+        new_pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
+        keys=["doc_a", "doc_b"],
+        prune=True,
+    )
+    index.sigs.merge_insert(nsigs, keys=["doc_id", "h"], prune=True)
+    index.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"], prune=True)
+    # band/gset rows are deterministic per doc content, so a replayed row
+    # always lands in its original bucket — including the hash column in
+    # the MERGE key keeps the pruned anti-join exact
+    index.bands.merge_insert(nbands, keys=["doc_id", "band", "sig_hash"], prune=True)
+    index.gsets.merge_insert(ngsets, keys=["doc_id", "gset_hash"], prune=True)
+    index.docs.merge_insert(fresh, keys=["doc_id"], prune=True)
 
 
 def stream_dedup(
@@ -122,15 +238,15 @@ def stream_dedup(
     checkpoint_dir: str,
     tau: float = JACCARD_TAU,
 ) -> dict:
-    """Drain all available document files (Trigger.AvailableNow), emitting
-    near-dup pairs per epoch and growing the index.
+    """Drain all available document files (Trigger.AvailableNow), folding
+    each epoch's batch into the index via fold_batch.
 
     Returns {"epochs", "docs_in", "pairs_new", "pairs_total"} counters
     (pairs_new is this drain's delta; pairs_total includes prior runs).  A
     long-lived deployment runs the identical query with a processing-time
-    trigger; the index tables are ordinary snapshot tables, so the batch
-    incremental_neardup path (or a compaction / expiry pass) can interleave
-    with the stream."""
+    trigger; the index tables are ordinary snapshot tables, so batch
+    fold_batch calls (or a compaction / expiry pass) can interleave with
+    the stream."""
     progress = {"epochs": 0, "docs_in": 0}
     pairs_before = index.pairs.row_count()
 
@@ -138,41 +254,9 @@ def stream_dedup(
         n = batch_df.count()
         if n == 0:
             return
-        spark = batch_df.sparkSession
-        nsigs, ntoks = minhash_state(batch_df)
-        # Enforce incremental_neardup's doc-disjointness precondition and the
-        # first-write-wins identity contract in one stroke: drop batch docs
-        # the index already holds, PER TABLE (narrow single-column anti-join,
-        # O(batch) extra work).  Per-table matters for crash replay: a crash
-        # between the two index MERGEs below leaves a doc folded into sigs
-        # but not toks; on replay its signature rows are skipped while its
-        # token rows still land, completing the fold instead of corrupting
-        # either table.
-        if index.has_index():
-            nsigs = nsigs.join(
-                index.sigs.read().select("doc_id").distinct(), "doc_id", "left_anti"
-            )
-            ntoks = ntoks.join(
-                index.toks.read().select("doc_id").distinct(), "doc_id", "left_anti"
-            )
-        # consumed twice each (pair probe + index fold): materialize once
-        nsigs, ntoks = nsigs.localCheckpoint(eager=True), ntoks.localCheckpoint(eager=True)
-        old_sigs = index.sigs.read() if index.has_index() else None
-        old_toks = index.toks.read() if old_sigs is not None else None
-        new_pairs = incremental_neardup(old_sigs, old_toks, nsigs, ntoks, tau=tau)
-        index.pairs.merge_insert(
-            new_pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
-            keys=["doc_a", "doc_b"],
-        )
-        index.sigs.merge_insert(nsigs, keys=["doc_id", "h"])
-        index.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"])
-        # incremental_neardup caches the combined token set (consumed by the
-        # star rescue and verify); all actions for this epoch are done, so
-        # release it — otherwise a long drain accumulates one corpus-sized
-        # cache entry per epoch
-        spark.catalog.clearCache()
         progress["epochs"] += 1
         progress["docs_in"] += n
+        fold_batch(index, batch_df, tau=tau)
 
     q = (
         doc_stream.writeStream.foreachBatch(_epoch)
@@ -186,6 +270,6 @@ def stream_dedup(
     # epoch MERGEs append small filesets; bin-pack them so scan cost tracks
     # data volume, not epoch count (same policy as ingest.stream_build)
     if progress["epochs"]:
-        for t in (index.sigs, index.toks, index.pairs):
+        for t in index.tables():
             t.compact(min_files=1)
     return progress

@@ -305,6 +305,47 @@ def test_stream_dedup_converges_to_full_run(spark, tmp_path):
     assert stats2["epochs"] == 0 and idx.pairs.row_count() == before
 
 
+def test_stream_dedup_crash_replay_partial_fold(spark, tmp_path):
+    """Worst-case crash window: an epoch died after folding a batch into
+    EVERY index table except the doc registry (docs is written last) and
+    before its pairs landed.  The replay must still emit that batch's full
+    pair set, and no table may hold duplicate rows — the `fresh` anti-joins
+    on the index side make the recompute bit-identical."""
+    from plume_spark.operators import dedup
+    from plume_spark.streaming import DedupIndex, read_document_stream, stream_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1, b2 = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
+
+    # expected end state: a clean two-batch run
+    inbox_c, ckpt_c = str(tmp_path / "in-clean"), str(tmp_path / "ck-clean")
+    _land(b1, inbox_c)
+    _land(b2, inbox_c)
+    clean = DedupIndex(spark, str(tmp_path / "idx-clean"))
+    stream_dedup(read_document_stream(spark, inbox_c, max_files_per_trigger=1), clean, ckpt_c)
+    expected = sorted(map(tuple, clean.pairs.read().collect()))
+
+    # crashed run: batch1 folds normally; batch2's fold is simulated as
+    # interrupted — all derived/raw tables merged, docs + pairs NOT
+    inbox, ckpt = str(tmp_path / "in-crash"), str(tmp_path / "ck1")
+    _land(b1, inbox)
+    idx = DedupIndex(spark, str(tmp_path / "idx-crash"))
+    stream_dedup(read_document_stream(spark, inbox, max_files_per_trigger=1), idx, ckpt)
+    nsigs, ntoks = dedup.minhash_state(b2)
+    idx.sigs.merge_insert(nsigs, keys=["doc_id", "h"], prune=True)
+    idx.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"], prune=True)
+    nbands = dedup.banded_signatures(nsigs).withColumn("sig_hash", F.xxhash64("band_sig"))
+    idx.bands.merge_insert(nbands, keys=["doc_id", "band", "sig_hash"], prune=True)
+    idx.gsets.merge_insert(dedup.doc_gsets(ntoks), keys=["doc_id", "gset_hash"], prune=True)
+
+    # replay: batch2 arrives again (fresh checkpoint = full redelivery window)
+    _land(b2, inbox)
+    stream_dedup(read_document_stream(spark, inbox, max_files_per_trigger=1), idx, str(tmp_path / "ck2"))
+    assert sorted(map(tuple, idx.pairs.read().collect())) == expected and expected
+    for t in idx.tables():
+        assert t.read().count() == t.read().distinct().count()
+
+
 def test_dedup_index_layout_prunes(spark, tmp_path):
     """The index tables carry the bucketed layout: a point read on one doc
     opens fewer files than a full scan."""
