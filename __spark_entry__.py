@@ -218,14 +218,43 @@ def _q_f5_json_payload(spark, sf):
 def _q_f11_levenshtein(spark, sf):
     """Blocked edit-distance fuzzy match (the verify alternative to gram
     Jaccard in entity linking): customer-name pairs within a nation block
-    at Levenshtein distance <= 2.  Blocking keeps the pair space
-    |block|^2, not |corpus|^2 — same containment discipline as LSH."""
+    at Levenshtein distance <= 2.
+
+    Scale design: the block key is COMPOUND (nation, name-length bucket) —
+    a bare nation block grows linearly with the corpus (25 values), making
+    the within-block self-join quadratic at 100x.  Length bucketing is
+    guaranteed-covering: dist <= 2 implies |len_a - len_b| <= 2, so the
+    probe side expands to the <= 2 buckets that can hold a match (width 4).
+    The |len_a - len_b| <= 2 Levenshtein lower bound rides in the join
+    condition, killing most candidates before the O(len^2) distance."""
     c = graft.load(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
-    a = c.select(F.col("c_nationkey").alias("blk"), F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
-    b = c.select(F.col("c_nationkey").alias("blk"), F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    a = c.select(
+        F.col("c_nationkey").alias("blk_a"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.length("c_name").alias("len_a"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("len_a") - 2) / 4), F.floor((F.col("len_a") + 2) / 4)
+            )
+        ).alias("lb"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("blk_b"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.length("c_name").alias("len_b"),
+    ).withColumn("lb", F.floor(F.col("len_b") / 4))
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (a["lb"] == b["lb"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2),
+        )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 2)
         .select("id_a", "id_b", "dist")
@@ -354,8 +383,11 @@ def _q_g2_components(spark, sf):
         (F.lit(graft.NODE_ORDER_OFFSET) + F.col("l_orderkey")).alias("subj"),
         (F.lit(graft.NODE_PART_OFFSET) + F.col("l_partkey")).alias("obj"),
     ).filter(F.col("obj") % 23 == 0)
+    # max_iters matches the oracle's unroll depth (n_iters=32 below): a graph
+    # too deep for the oracle now fails LOUDLY on the Spark side instead of
+    # both sides silently agreeing on non-converged labels
     return connected_components(
-        e1.unionByName(e2), src="subj", dst="obj", driver_max_edges=0
+        e1.unionByName(e2), src="subj", dst="obj", driver_max_edges=0, max_iters=32
     )
 
 
@@ -706,8 +738,14 @@ def _q_stream_ordered_release(spark, sf):
             owner = int(stale.rsplit("-p", 1)[1])
         except ValueError:
             continue
-        if owner != os.getpid() and not os.path.exists(f"/proc/{owner}"):
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)  # portable liveness probe (no /proc dependency)
+        except ProcessLookupError:
             shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # e.g. EPERM: pid exists under another user — keep its dirs
 
     t = graft.kg_transcripts(spark, sf)
     d = tempfile.mkdtemp(prefix="plume-stream-contract-", suffix=f"-p{os.getpid()}")
@@ -748,8 +786,10 @@ def _q_dedup_groups(spark, sf):
 
     d = graft.load(spark, sf, "documents")
     pairs = dedup.minhash_dedup(d, portable_ids=True)
+    # max_iters matches the oracle's unroll depth (n_iters=10): too-deep
+    # clusters raise here rather than silently diverge from the oracle
     return connected_components(
-        pairs, src="doc_a", dst="doc_b", driver_max_edges=0
+        pairs, src="doc_a", dst="doc_b", driver_max_edges=0, max_iters=10
     ).withColumnRenamed("node", "doc_id").withColumnRenamed("component", "keeper_id")
 
 
@@ -1484,10 +1524,10 @@ def oracle_sql() -> dict[str, str]:
         WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
              e AS (SELECT user_id FROM events WHERE event_type = 'error')
         SELECT DISTINCT user_id, 'purchase_only' AS kind FROM p
-        WHERE user_id NOT IN (SELECT user_id FROM e)
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id)
         UNION ALL
         SELECT DISTINCT user_id, 'both' AS kind FROM p
-        WHERE user_id IN (SELECT user_id FROM e)"""
+        WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id)"""
     sql["a7_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,

@@ -71,7 +71,7 @@ def driver_link_kernel(
     if not norms:
         return []
     gram_sets = xxh64_ngrams(norms, 3)  # per-norm unique uint64 gram hashes
-    # minhash substrate: tok_id = pmod(signed hash, MINHASH_P), as in _gram_ids
+    # minhash substrate: tok_id = pmod(signed hash, MINHASH_P), as in _norm_dict
     n_bands = N_HASHES // ROWS_PER_BAND
     a = np.array(dedup_mod.MINHASH_A[:N_HASHES], dtype=np.int64)
     b = np.array(dedup_mod.MINHASH_B[:N_HASHES], dtype=np.int64)
@@ -133,26 +133,49 @@ def gram_array(c: Column | str) -> Column:
     )
 
 
-def _gram_ids(norms: DataFrame, norm: str) -> DataFrame:
-    """(doc_id=norm, tok_id=hashed gram) rows — the minhash substrate."""
+def _norm_dict(norms: DataFrame, norm: str) -> DataFrame:
+    """The per-distinct-norm dictionary every linking stage derives from,
+    computed and materialized ONCE: (norm, grams: xxhash64'd gram array,
+    g_sz, toks: distinct pmod'd minhash token ids).  Fusing the dictionary
+    collapses the former separate distinct-norms scans / gram-id distinct /
+    gramset aggregation into one shuffle + pure projections — the fixed
+    stage-count constant of the distributed path was the round-2 flag."""
     return (
-        norms.select(F.col(norm).alias("doc_id"), F.explode(gram_array(norm)).alias("g"))
-        .select("doc_id", F.pmod(F.xxhash64("g"), F.lit(MINHASH_P)).alias("tok_id"))
+        norms.select(norm)
         .distinct()
+        .select(
+            F.col(norm),
+            F.transform(gram_array(norm), lambda g: F.xxhash64(g)).alias("grams"),
+        )
+        .withColumn("g_sz", F.size("grams"))
+        .withColumn(
+            "toks",
+            F.array_distinct(
+                F.transform("grams", lambda g: F.pmod(g, F.lit(MINHASH_P)))
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
 
 
 def candidate_pairs(
-    norms: DataFrame, norm: str = "norm", max_bucket_size: int = MAX_BUCKET_SIZE
+    norms: DataFrame,
+    norm: str = "norm",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    dict_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs over the distinct-norm dictionary.
 
     Self-join on (band, band_sig); ``norm_a < norm_b`` keeps each unordered
     pair once; distinct BEFORE verify so each pair is verified exactly once
     even when it collides in several bands.  Buckets above ``max_bucket_size``
-    are dropped (stop-shingle practice — see module docstring)."""
-    distinct_norms = norms.select(norm).distinct()
-    ids = _gram_ids(distinct_norms, norm).localCheckpoint(eager=True)
+    are dropped (stop-shingle practice — see module docstring).  ``dict_df``
+    (from _norm_dict) lets verified_pairs share one dictionary
+    materialization across candidate generation and verify."""
+    d = _norm_dict(norms, norm) if dict_df is None else dict_df
+    # token ids straight off the dictionary's distinct array — no separate
+    # gram-id distinct pass
+    ids = d.select(F.col(norm).alias("doc_id"), F.explode("toks").alias("tok_id"))
     sig = minhash_signatures(ids, k=N_HASHES)
     bands = (
         sig.withColumn("band", (F.col("h") / ROWS_PER_BAND).cast("int"))
@@ -186,9 +209,11 @@ def candidate_pairs(
     # every 2-row band bucket and silently drop them.  The gram set is an
     # equivalence key, so star edges (min member -> others) are sound and
     # linear.  (Full minhash-signature grouping is NOT an equivalence over
-    # true duplicates — distinct sets can share all 32 minhashes.)
-    gramsets = ids.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("tok_id")).alias("gset")
+    # true duplicates — distinct sets can share all 32 minhashes.)  The set
+    # key is a projection of the dictionary (sorted distinct token array),
+    # not an aggregation over exploded ids.
+    gramsets = d.select(
+        F.col(norm).alias("doc_id"), F.sort_array("toks").alias("gset")
     )
     star = (
         gramsets.groupBy("gset")
@@ -215,20 +240,12 @@ def verified_pairs(
     array_intersect arithmetic inside codegen.  A size prefilter removes
     pairs that cannot reach tau (|A∩B| <= min(|A|,|B|), so J >= tau requires
     min >= tau * max) before touching the arrays."""
-    cands = candidate_pairs(norms, norm, max_bucket_size)
-    # gram dictionary: xxhash64'd gram sets (array<long> intersects are ~10x
-    # cheaper than array<string> — no per-element string hashing/compares in
-    # the hot loop); materialized once, joined twice (subj/obj side)
-    d = (
-        norms.select(norm)
-        .distinct()
-        .select(
-            F.col(norm),
-            F.transform(gram_array(norm), lambda g: F.xxhash64(g)).alias("grams"),
-        )
-        .withColumn("g_sz", F.size("grams"))
-        .localCheckpoint(eager=True)
-    )
+    # ONE dictionary materialization feeds candidate generation AND both
+    # verify sides: gram arrays are xxhash64'd longs (array<long> intersects
+    # are ~10x cheaper than array<string> — no per-element string hashing in
+    # the hot loop)
+    d = _norm_dict(norms, norm)
+    cands = candidate_pairs(norms, norm, max_bucket_size, dict_df=d)
     a = d.select(
         F.col(norm).alias("norm_a"), F.col("grams").alias("g_a"), F.col("g_sz").alias("sz_a")
     )

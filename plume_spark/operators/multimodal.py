@@ -52,14 +52,71 @@ FEATURES = T.StructType(
 FEATURE_DIM = 16
 
 
+try:  # optional dependency gate: the real image path lights up when pillow exists
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
     """The real decode contract: payload -> pixel array / PCM samples.
-    Requires pillow / libsndfile / pyav — not present in this container."""
+
+    * image/* — pillow (optional import): grayscale pixel grid in [0, 1].
+    * audio/wav — stdlib ``wave``: PCM samples in [-1, 1] (no external dep,
+      so this path is REAL and tested in every environment).
+    * anything else (video containers, compressed audio) needs pyav /
+      libsndfile — NotImplementedError with the swap-in contract.
+    """
+    if mime.startswith("image/"):
+        if not HAVE_PIL:
+            raise NotImplementedError(
+                "image decode requires pillow (pip install pillow); decode_stub "
+                "is the fallback with the same (payload, mime) -> ndarray shape"
+            )
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.float64) / 255.0
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            raw = w.readframes(w.getnframes())
+            width = w.getsampwidth()
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None:
+            raise NotImplementedError(f"unsupported PCM sample width {width}")
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if width == 1:  # 8-bit wav is unsigned
+            return (samples - 128.0) / 128.0
+        return samples / float(2 ** (8 * width - 1))
     raise NotImplementedError(
-        "media decode requires image/audio libs not present in this container; "
-        "swap decode_stub -> a real decoder (PIL.Image.open / soundfile.read / "
-        "av.open) with the same (payload, mime) -> ndarray signature"
+        f"no decoder for mime {mime!r}: video/compressed audio require pyav / "
+        "libsndfile — swap in a decoder with the same (payload, mime) -> "
+        "ndarray signature"
     )
+
+
+def featurize(arr: np.ndarray) -> np.ndarray:
+    """Pool any decoded array (pixel grid / PCM samples) to a FEATURE_DIM
+    float32 vector: flatten, pad, column-mean — the same pooling the stub
+    applies to raw bytes, so stub and real paths share one feature shape."""
+    flat = np.asarray(arr, dtype=np.float64).ravel()
+    if flat.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    pad = (-flat.size) % FEATURE_DIM
+    return (
+        np.pad(flat, (0, pad)).reshape(-1, FEATURE_DIM).mean(axis=0).astype(np.float32)
+    )
+
+
+def real_decoder(payload: bytes, mime: str) -> np.ndarray:
+    """decode_real + featurize — drop-in for extract_features(decoder=...)."""
+    return featurize(decode_real(payload, mime))
 
 
 def decode_stub(payload: bytes, mime: str) -> np.ndarray:

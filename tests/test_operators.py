@@ -189,8 +189,87 @@ def test_multimodal_plumbing(spark):
         for r in resize_images(synthetic_media(spark, n=9, seed=1), out_w=8, out_h=6).collect()
     }
     assert all(bytes(again[i]["payload"]) == bytes(rs[i]["payload"]) for i in rs)
+    from plume_spark.operators.multimodal import HAVE_PIL
+
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_real(b"xx", "image/png")
     with pytest.raises(NotImplementedError):
-        decode_real(b"xx", "image/png")
+        decode_real(b"xx", "video/mp4")
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_multimodal_real_wav_decode(spark):
+    """audio/wav real decode rides the stdlib wave module — no optional dep,
+    so the REAL path (decode -> featurize -> mapInPandas) is exercised in
+    every environment, not just pillow-equipped ones."""
+    import numpy as np
+
+    from plume_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA,
+        extract_features,
+        real_decoder,
+    )
+
+    samples = [0, 16384, -16384, 32767, -32768] * 20
+    payload = _wav_bytes(samples)
+    pcm = decode_real(payload, "audio/wav")
+    assert np.allclose(pcm[:5] * 32768.0, samples[:5])
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", payload, None, None, 12)], schema=MEDIA
+    )
+    rows = extract_features(media, decoder=real_decoder).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == FEATURE_DIM
+    # deterministic and equal to driver-side decode+pool
+    from plume_spark.operators.multimodal import featurize
+
+    expect = [float(x) for x in featurize(pcm)]
+    assert rows[0]["feature"] == expect
+
+
+def test_multimodal_real_image_decode(spark):
+    """Pillow-gated: the image path of decode_real on a real PNG."""
+    from plume_spark.operators.multimodal import HAVE_PIL
+
+    if not HAVE_PIL:
+        pytest.skip("pillow not installed — image real-decode path inactive")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from plume_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA,
+        extract_features,
+        real_decoder,
+    )
+
+    img = Image.fromarray((np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 255)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    grid = decode_real(payload, "image/png")
+    assert grid.shape == (8, 8) and 0.0 <= grid.min() and grid.max() <= 1.0
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", payload, 8, 8, None)], schema=MEDIA
+    )
+    rows = extract_features(media, decoder=real_decoder).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == FEATURE_DIM
 
 
 def test_traversal_tiny_graph(spark):
