@@ -328,6 +328,64 @@ def _q_corpus_select(spark, sf):
     return corpus.select_corpus(graft.load(spark, sf, "documents"))
 
 
+def _q_corpus_mix_sample(spark, sf):
+    """Stratified corpus mixing: per-source keep rates (deterministic hash
+    sampling) — rates derived arithmetically from the source id so the
+    oracle can replay them without a literal table."""
+    d = graft.load(spark, sf, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "rate",
+            (F.substring("source", 4, 10).cast("int") % 4 + 1) * F.lit(0.25),
+        )
+    )
+    return corpus.mix_sample(d, rates)
+
+
+def _q_corpus_dupe_ngrams(spark, sf):
+    """Cross-document 8-gram duplication rate (the corpus-duplication
+    diagnostic).  The engine counts gram document-frequency over xxhash64'd
+    grams (fixed-width keys at scale); the oracle groups by the gram string
+    — identical unless 64-bit hashes collide (~n^2/2^64)."""
+    return corpus.dupe_ngram_rate(graft.load(spark, sf, "documents"), n=8)
+
+
+def _q_text_pii_scrub(spark, sf):
+    """PII scrub over documents with deterministic synthetic PII appended
+    (the base corpus contains none): one email + one long numeric ref per
+    doc, so every row exercises both redaction patterns."""
+    from plume_spark.operators.text import pii_scrub
+
+    d = graft.load(spark, sf, "documents")
+    withpii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or ref "),
+            (F.col("doc_id") * 7919 + 100000).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(withpii)
+
+
+def _q_text_quality_logreg(spark, sf):
+    """Fixed-weight logistic-regression quality score — model serving as
+    pure column arithmetic."""
+    from plume_spark.operators.text import quality_logreg
+
+    return quality_logreg(graft.load(spark, sf, "documents"))
+
+
+def _q_emb_quantize(spark, sf):
+    """Symmetric int8 embedding quantization (scale = max |x|, floor to
+    avoid tie-break modes)."""
+    return similarity.quantize_embeddings(graft.load(spark, sf, "embeddings"))
+
+
 def _q_u3_except_intersect(spark, sf):
     """EXCEPT/INTERSECT set ops (beyond the reference's union-only absorb):
     users who purchased but never errored, and users who did both."""
@@ -894,6 +952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": _q_emb_centroids,
         "f11_levenshtein": _q_f11_levenshtein,
         "f5_json_payload": _q_f5_json_payload,
+        "corpus_mix_sample": _q_corpus_mix_sample,
+        "corpus_dupe_ngrams": _q_corpus_dupe_ngrams,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "text_quality_logreg": _q_text_quality_logreg,
+        "emb_quantize": _q_emb_quantize,
     }
 
 
@@ -1635,6 +1698,80 @@ def oracle_sql() -> dict[str, str]:
                round(h.n_overlap / CAST(s.n_grams AS DOUBLE), 6) AS overlap_frac
         FROM hits h JOIN sizes s USING (doc_id)"""
     )
+    sql["corpus_mix_sample"] = f"""
+        WITH r AS (SELECT source,
+                          (CAST(substr(source, 4, 10) AS INT) % 4 + 1) * 0.25 AS rate
+                   FROM (SELECT DISTINCT source FROM documents))
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE ((d.doc_id % {corpus.MIX_P}) * {corpus.MIX_A} + {corpus.MIX_B})
+                % {corpus.MIX_P} < r.rate * {corpus.MIX_P}"""
+    sql["corpus_dupe_ngrams"] = """
+        WITH g AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                 toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                 toks[i+6] || ' ' || toks[i+7] AS tok
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+                WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 8),
+               (SELECT unnest(range(1, (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) + 1 FROM documents))) AS i)
+          WHERE i <= len(toks) - 7),
+        gdf AS (SELECT tok, count(*) AS n_docs FROM g GROUP BY tok)
+        SELECT doc_id, count(*) AS n_ngrams,
+               round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        FROM g JOIN gdf USING (tok) GROUP BY doc_id"""
+    from plume_spark.operators.text import PII_DIGITS, PII_EMAIL
+
+    sql["text_pii_scrub"] = f"""
+        WITH w AS (SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.org or ref '
+                          || CAST(doc_id * 7919 + 100000 AS VARCHAR) AS text
+                   FROM documents),
+        s1 AS (SELECT doc_id, text,
+                      regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+               FROM w)
+        SELECT doc_id,
+               regexp_replace(t1, '{PII_DIGITS}', '<NUM>', 'g') AS text,
+               CAST((len(string_split_regex(text, '{PII_EMAIL}')) - 1)
+                  + (len(string_split_regex(t1, '{PII_DIGITS}')) - 1) AS BIGINT)
+                 AS n_redactions
+        FROM s1"""
+    from plume_spark.operators.text import LOGREG_BIAS, LOGREG_W, STOPWORDS
+
+    _stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    sql["text_quality_logreg"] = f"""
+        WITH t AS (SELECT doc_id, text,
+                          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                   FROM documents),
+        f AS (SELECT doc_id,
+                     least(length(text) / 500.0, 1.0) AS f_len,
+                     len(list_filter(toks, x -> x IN ({_stoplist})))
+                       / CAST(greatest(len(toks), 1) AS DOUBLE) AS f_stop,
+                     coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                       / CAST(greatest(len(toks), 1) AS DOUBLE) / 10.0 AS f_word
+              FROM t)
+        SELECT doc_id,
+               round(f_len, 6) AS f_len,
+               round(f_stop, 6) AS f_stop,
+               round(f_word, 6) AS f_word,
+               round(1.0 / (1.0 + exp(-({LOGREG_BIAS}
+                     + {LOGREG_W['f_len']} * f_len
+                     + {LOGREG_W['f_stop']} * f_stop
+                     + {LOGREG_W['f_word']} * f_word))), 6) AS score
+        FROM f"""
+    sql["emb_quantize"] = """
+        WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS scale
+              FROM d)
+        SELECT vec_id, round(scale, 6) AS scale,
+               CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                    ELSE list_transform(e, x -> CAST(floor(x / scale * 127.0) AS INT))
+               END AS q
+        FROM s"""
     sql["corpus_boilerplate"] = """
         WITH sh AS (
           SELECT DISTINCT doc_id,

@@ -47,6 +47,14 @@ HEADLINE = [
     "w1_turn_ordering",
     "corpus_decon_overlap",
     "corpus_tfidf_topk",
+    # round-3 additions: one per operator family added in round 2, so
+    # regressions are visible in per-round diffs (VERDICT r2 item 8)
+    "g3_triangles",
+    "t1_asof_join",
+    "t2_range_join",
+    "w3_sessionize",
+    "w4_sliding_rate",
+    "corpus_select",
 ]
 
 
@@ -129,12 +137,14 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     n_triples = 0
     flagship_samples: list[float] = []
     for name in names:
-        # The flagship headline is min-of-2 (JMH measurement-iteration
-        # analog): this box shows 2-4x intermittent external CPU steal
-        # (BENCH.md), and min over repeats of a deterministic job is the
-        # unbiased estimator under additive noise.  Other queries stay
-        # single-shot to keep the suite under ~2 min.
-        reps = 2 if name == "kg_build_triples" else 1
+        # The flagship and its distributed-linking twin are min-of-2 (JMH
+        # measurement-iteration analog): this box shows 2-4x intermittent
+        # external CPU steal (BENCH.md), min over repeats of a deterministic
+        # job is the unbiased estimator under additive noise, and the
+        # distlink/kernel RATIO is a tracked target so both sides need the
+        # same estimator.  Other queries stay single-shot to keep the suite
+        # under ~2 min.
+        reps = 2 if name in ("kg_build_triples", "kg_build_distlink") else 1
         for _ in range(reps):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -252,9 +262,45 @@ def run_write_bench(sf_dir: str, cpus: int, iters: int = 3) -> dict:
     }
 
 
+def run_heap_sweep(sf_dir: str, cpus: int, heaps=("4g", "24g")) -> dict:
+    """The reference's memory-sweep analog (runBenchmarks.sc:44-68 runs
+    backends x {2,4,6,8} Gb with a known-OOM skip list): the flagship build
+    in a FRESH subprocess per driver-heap size.  A level that dies (OOM /
+    nonzero exit) is recorded like the reference's skip-list entry instead
+    of failing the sweep."""
+    levels = {}
+    for heap in heaps:
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", "kg_build_triples"],
+            env={
+                **os.environ,
+                "PLUME_DRIVER_MEM": heap,
+                "SPARK_GRAFT_CPUS": str(cpus),
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+            },
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            levels[heap] = {"status": "OOM/failed", "exit": out.returncode,
+                            "stderr_tail": out.stderr[-300:]}
+            continue
+        j = json.loads(lines[-1])
+        levels[heap] = {"status": "ok", "sec": j["value"],
+                        "triples_per_sec": j["triples_per_sec"]}
+    return {"metric": "heap_sweep", "unit": "sec", "levels": levels,
+            "sf": sf_dir, "cpus": cpus}
+
+
 def main():
     if "--write" in sys.argv:
         print(json.dumps(run_write_bench(SF_DIR, CPUS)))
+        return
+    if "--heap" in sys.argv:
+        heaps = tuple(os.environ.get("SPARK_GRAFT_HEAPS", "4g,24g").split(","))
+        print(json.dumps(run_heap_sweep(SF_DIR, CPUS, heaps)))
         return
     if "--scaling" in sys.argv:
         # levels: N and 4N cores.  Default (8, 32) exercises the full box;

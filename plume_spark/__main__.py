@@ -76,6 +76,11 @@ def _query(args) -> int:
 
 
 def _export(args) -> int:
+    # Format coverage vs the reference (TinkerGraphDriver.scala:31-41):
+    # GraphML + GraphSON + JSON round-trip here; Gryo is n/a BY DESIGN —
+    # it is a JVM Kryo byte stream (Java object serialization) with no
+    # sensible Python/Spark parity, and its SEMANTICS (lossless typed
+    # node/edge round trip) are fully covered by the three text formats.
     from plume_spark.session import get_spark
     from plume_spark.store.graph import GraphStore
 

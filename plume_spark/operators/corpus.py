@@ -246,6 +246,66 @@ def select_corpus(
     )
 
 
+MIX_P = 1000003  # prime sampling modulus (fits the mulmod in int64)
+MIX_A = 2654435761 % MIX_P
+MIX_B = 40503
+
+
+def mix_sample(
+    df: DataFrame, rates: DataFrame, id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic stratified corpus mixing: keep each doc with its
+    source's target rate — the data-mixing step every multi-source training
+    pipeline runs (web x wiki x code at tuned proportions).
+
+    The keep decision is a pure hash projection, pmod(pmod(id,P)*A + B, P)
+    < rate*P — no randomness to persist, identical across runs/engines, and
+    re-running on a grown corpus keeps previously-kept docs kept (stable
+    membership, the same philosophy as the deterministic train/val split).
+    ``rates`` is a tiny (source, rate) table — broadcast by the planner.
+    """
+    u = F.pmod(
+        F.pmod(F.col(id_col), F.lit(MIX_P)) * F.lit(MIX_A) + F.lit(MIX_B), F.lit(MIX_P)
+    )
+    return (
+        df.join(rates, source_col)
+        .withColumn("_u", u)
+        .filter(F.col("_u") < F.col("rate") * F.lit(MIX_P))
+        .select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+    )
+
+
+def dupe_ngram_rate(
+    df: DataFrame, n: int = 8, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc CROSS-document n-gram duplication rate: the fraction of a
+    doc's distinct word n-grams that also occur in at least one OTHER doc —
+    the corpus-level duplication diagnostic behind suffix-style "dedup the
+    training set" passes (long n defaults catch copied passages, not
+    common phrases).
+
+    (doc_id, n_ngrams, dup_frac).  Two partial aggregates + one join on the
+    gram hash — never a self-join: the gram document-frequency table plays
+    the same role as tfidf's df table, and only grams of the probed doc set
+    flow through the final aggregate."""
+    sh = shingles(df, n, text, id_col).select(
+        "doc_id", F.xxhash64("tok").alias("g")
+    )
+    sh = sh.localCheckpoint(eager=True)  # gram DF + per-doc aggregate
+    gdf = sh.groupBy("g").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -183,6 +183,7 @@ def lsh_buckets(
 def blocked_cosine_pairs(
     embeddings: DataFrame, block_col: str, tau: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_splits: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= tau) within blocks — IVF-style:
     the pairwise join is confined to same-block vectors, so cost is
@@ -190,22 +191,41 @@ def blocked_cosine_pairs(
     or the output of lsh_buckets joined on.
 
     Norms are projected ONCE per row before the self-join; each pair costs
-    one unrolled dot + one divide (codegen), not three HOF traversals."""
+    one unrolled dot + one divide (codegen), not three HOF traversals.
+
+    Parallelism does NOT depend on the number of blocks: with few hot
+    blocks (a 3-label corpus) a plain self-join on the block key puts each
+    block's |block|^2 work on ONE task, and AQE's skew splitter only kicks
+    in past its byte thresholds.  Each row therefore gets a deterministic
+    sub-group g = pmod(xxhash64(id), n_splits); the probe side is
+    replicated once per target sub-group, the join key becomes
+    (blk, sub-group), and every block's work spreads over n_splits tasks —
+    blocks x n_splits join keys, same pair set (each unordered pair meets
+    exactly once: a=x only joins b=y through y's sub-group, and the
+    vec_a < vec_b filter kills the mirror).  Replication multiplies the
+    probe-side shuffle by n_splits, a linear cost against the quadratic
+    work it balances; size n_splits ~ tasks-per-block wanted."""
     dim = infer_dim(embeddings, vec_col)
     with_norm = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_v"),
         norm_unrolled(F.col(vec_col), dim).alias("_n"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_splits)).alias("_g"),
     )
     a = with_norm.select(
-        "blk", F.col("_vid").alias("vec_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+        "blk",
+        F.col("_vid").alias("vec_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_splits - 1))).alias("_g"),
     )
     b = with_norm.select(
-        "blk", F.col("_vid").alias("vec_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+        "blk", F.col("_vid").alias("vec_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), "_g",
     )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "_g"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -215,6 +235,31 @@ def blocked_cosine_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max(|x_i|), q_i =
+    floor(x_i / scale * 127) — the storage/bandwidth step an embedding store
+    runs before ANN indexing (4x smaller vectors, distance computations on
+    int8).  (vec_id, scale, q: array<int>).  Pure higher-order column
+    arithmetic, no shuffle; floor (not round) so there is no tie-break mode
+    to disagree on across engines — the DuckDB oracle replays the identical
+    formula.  A zero vector quantizes to zeros with scale 0."""
+    v = _as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        scale == 0.0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale * F.lit(127.0)).cast("int"))
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q"),
     )
 
 

@@ -97,6 +97,67 @@ def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+# email, then long digit runs (account/phone-shaped); both patterns use only
+# classes + bounded quantifiers, valid under Java regex AND RE2 so the DuckDB
+# oracle replays them verbatim
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS = r"[0-9]{5,}"
+
+
+def pii_scrub(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact PII-shaped spans: emails -> <EMAIL>, 5+ digit runs -> <NUM> —
+    the scrub pass a training pipeline runs before tokenization.  Pure
+    regexp_replace projection (scan-speed at 100 TB); returns
+    (doc_id, text, n_redactions) where n_redactions counts replaced spans
+    so downstream can quarantine PII-dense docs."""
+    t = F.col(text)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_DIGITS, "<NUM>"
+    )
+    n_email = F.size(F.split(t, PII_EMAIL, -1)) - 1
+    n_num = F.size(F.split(F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_DIGITS, -1)) - 1
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("text"),
+        (n_email + n_num).cast("long").alias("n_redactions"),
+    )
+
+
+# fixed logistic-regression weights for the model-based quality score: a
+# deterministic stand-in for a trained fastText/LR quality classifier — the
+# Spark-side SERVING pattern (pure column arithmetic, no model runtime) is
+# the part that matters at 100 TB.
+LOGREG_BIAS = -1.5
+LOGREG_W = {"f_len": 2.0, "f_stop": 3.0, "f_word": -0.5}
+
+
+def quality_logreg(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality score: sigmoid(w . x) over interpretable text
+    features (length saturation, stopword ratio, mean word length) with
+    FIXED published weights.  (doc_id, f_len, f_stop, f_word, score).
+    Everything is per-row column arithmetic — applying a linear model at
+    scan speed, the way trained quality classifiers are served in corpus
+    pipelines (score once, filter by threshold downstream)."""
+    toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
+    n = F.greatest(F.size(toks), F.lit(1))
+    f_len = F.least(F.length(F.col(text)) / F.lit(500.0), F.lit(1.0))
+    f_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / n
+    f_word = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n / F.lit(10.0)
+    z = (
+        F.lit(LOGREG_BIAS)
+        + F.lit(LOGREG_W["f_len"]) * f_len
+        + F.lit(LOGREG_W["f_stop"]) * f_stop
+        + F.lit(LOGREG_W["f_word"]) * f_word
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(f_len, 6).alias("f_len"),
+        F.round(f_stop, 6).alias("f_stop"),
+        F.round(f_word, 6).alias("f_word"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+
+
 def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fingerprint): positional rolling hash over tokens —
     sum((pos+1) * (len(tok)*131 + first_char_code) mod P) mod P, P = 1e9+7.

@@ -681,6 +681,59 @@ def test_corpus_hostile_inputs(spark):
     assert corpus.pack_chunks(empty).count() == 0
 
 
+def test_round3_operators_hostile_inputs(spark):
+    """mix_sample / dupe_ngram_rate / pii_scrub / quality_logreg /
+    quantize_embeddings on degenerate rows: empty text, no matches, short
+    docs, zero vectors — sane rows, no crash, exact expectations."""
+    from plume_spark.operators import corpus
+    from plume_spark.operators.similarity import quantize_embeddings
+    from plume_spark.operators.text import pii_scrub, quality_logreg
+
+    d = spark.createDataFrame(
+        [(0, "", "srcA"), (1, "   ", "srcB"), (2, "one two", "srcA"),
+         (3, "a b c d e f g h i j", "srcB")],
+        ["doc_id", "text", "source"],
+    )
+    # mix_sample: rate 1.0 keeps everything, 0.0 keeps nothing
+    all_r = spark.createDataFrame([("srcA", 1.0), ("srcB", 1.0)], ["source", "rate"])
+    none_r = spark.createDataFrame([("srcA", 0.0), ("srcB", 0.0)], ["source", "rate"])
+    assert corpus.mix_sample(d, all_r).count() == 4
+    assert corpus.mix_sample(d, none_r).count() == 0
+    # dupe rate: only doc 3 has >= 8 tokens; its grams are unique -> 0.0
+    dr = {r["doc_id"]: r for r in corpus.dupe_ngram_rate(d, n=8).collect()}
+    assert set(dr) == {3} and dr[3]["dup_frac"] == 0.0
+    # duplicated passage across two docs -> dup_frac 1.0 on both
+    d2 = spark.createDataFrame(
+        [(10, "x y z w v u t s"), (11, "x y z w v u t s")], ["doc_id", "text"]
+    )
+    dr2 = {r["doc_id"]: r["dup_frac"] for r in corpus.dupe_ngram_rate(d2, n=8).collect()}
+    assert dr2 == {10: 1.0, 11: 1.0}
+    # pii scrub: email + long digits redacted, counts exact; empty rows no-op
+    p = spark.createDataFrame(
+        [(0, "mail me at a.b+c@x-corp.io ref 1234567 ok"), (1, ""), (2, "no pii 123")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(p).collect()}
+    assert got[0]["text"] == "mail me at <EMAIL> ref <NUM> ok"
+    assert got[0]["n_redactions"] == 2
+    assert got[1]["text"] == "" and got[1]["n_redactions"] == 0
+    assert got[2]["text"] == "no pii 123" and got[2]["n_redactions"] == 0
+    # logreg: empty text scores at the bias point, bounded (0, 1)
+    import math
+
+    q = {r["doc_id"]: r for r in quality_logreg(d).collect()}
+    assert abs(q[0]["score"] - round(1 / (1 + math.exp(1.5)), 6)) < 1e-9
+    assert all(0.0 < r["score"] < 1.0 for r in q.values())
+    # quantize: zero vector -> scale 0, all-zero q; max element hits ±127
+    e = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.5, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qz = {r["vec_id"]: r for r in quantize_embeddings(e).collect()}
+    assert qz[0]["scale"] == 0.0 and qz[0]["q"] == [0, 0]
+    assert qz[1]["scale"] == 1.0 and qz[1]["q"] == [63, -127]
+
+
 def test_triangle_count_hand_computed(spark):
     from plume_spark.operators.graph_metrics import co_occurrence_edges, triangle_count
 
