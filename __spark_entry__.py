@@ -386,6 +386,80 @@ def _q_emb_quantize(spark, sf):
     return similarity.quantize_embeddings(graft.load(spark, sf, "embeddings"))
 
 
+def _q_w5_funnel(spark, sf):
+    """Ordered conversion funnel (click -> view -> purchase, strictly later
+    stages only): per-stage first-completion times + reached stage.  Three
+    filtered aggregates chained by user-keyed joins — each stage's input is
+    only the users that reached the previous stage, so the work SHRINKS
+    down the funnel (never a per-user sort of all events)."""
+    e = graft.load(spark, sf, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        c.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_click",
+            "t_view",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_view").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+def _q_t3_ohlc_downsample(spark, sf):
+    """Time-bucketed OHLC downsample: per (user, hour) open/high/low/close
+    over event values, ordered by (ts, event_id).  One window pass computes
+    both endpoint ranks, then a grouped aggregate — the telemetry/market
+    rollup shape (at scale: partition-pruned by the time bucket, the window
+    and the aggregate share one (user, bucket) shuffle)."""
+    e = graft.load(spark, sf, "events").withColumn(
+        "bucket_ts", F.date_trunc("hour", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id", "bucket_ts").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id", "bucket_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id",
+        "bucket_ts",
+        "value",
+        F.row_number().over(w).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    return r.groupBy("user_id", "bucket_ts").agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("v_open"),
+        F.max("value").alias("v_high"),
+        F.min("value").alias("v_low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("v_close"),
+    )
+
+
 def _q_u3_except_intersect(spark, sf):
     """EXCEPT/INTERSECT set ops (beyond the reference's union-only absorb):
     users who purchased but never errored, and users who did both."""
@@ -957,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         "text_quality_logreg": _q_text_quality_logreg,
         "emb_quantize": _q_emb_quantize,
+        "w5_funnel": _q_w5_funnel,
+        "t3_ohlc_downsample": _q_t3_ohlc_downsample,
     }
 
 
@@ -1762,6 +1838,35 @@ def oracle_sql() -> dict[str, str]:
                      + {LOGREG_W['f_stop']} * f_stop
                      + {LOGREG_W['f_word']} * f_word))), 6) AS score
         FROM f"""
+    sql["w5_funnel"] = """
+        WITH c AS (SELECT user_id, min(ts) AS t_click FROM events
+                   WHERE event_type = 'click' GROUP BY user_id),
+        v AS (SELECT e.user_id, min(e.ts) AS t_view
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > c.t_click
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+              GROUP BY e.user_id)
+        SELECT c.user_id, c.t_click, v.t_view, p.t_purchase,
+               1 + CAST(v.t_view IS NOT NULL AS INT)
+                 + CAST(p.t_purchase IS NOT NULL AS INT) AS stage
+        FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)"""
+    sql["t3_ohlc_downsample"] = """
+        WITH r AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts ASC, event_id ASC) AS ra,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rd
+          FROM events)
+        SELECT user_id, bucket_ts, count(*) AS n,
+               max(CASE WHEN ra = 1 THEN value END) AS v_open,
+               max(value) AS v_high,
+               min(value) AS v_low,
+               max(CASE WHEN rd = 1 THEN value END) AS v_close
+        FROM r GROUP BY user_id, bucket_ts"""
     sql["emb_quantize"] = """
         WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         s AS (SELECT vec_id, e,
