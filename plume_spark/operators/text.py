@@ -164,18 +164,25 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     Arithmetic only, portable to the SQL oracle, order-sensitive (a reordered
     document fingerprints differently, unlike bag-of-words hashes).
 
-    posexplode + partial sum agg (map-side combinable); long casts keep the
-    per-term product (< ~2e11) out of int overflow.  Docs with no tokens drop
-    out (group-by semantics) — identical to the SQL oracle."""
+    A pure per-row array fold — ZERO shuffles (the round-2 posexplode +
+    groupBy form moved every token through an exchange; the per-term mod
+    keeps the accumulator bounded, and (a+b) mod P folded stepwise equals
+    mod-of-sum, so values are unchanged).  Docs with no tokens are filtered
+    out, matching the former group-by drop semantics and the SQL oracle."""
+    P = 1000000007
     toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+
+    def tok_code(t):
+        return (F.length(t).cast("long") * 131 + F.ascii(t)) * 131 + F.ascii(
+            F.reverse(t)
+        )
+
+    terms = F.transform(
+        toks, lambda t, i: ((i + 1).cast("long") * (tok_code(t) % P)) % P
     )
-    tok_code = (
-        F.length("tok").cast("long") * 131 + F.ascii("tok")
-    ) * 131 + F.ascii(F.reverse("tok"))
-    term = ((F.col("pos") + 1).cast("long") * (tok_code % 1000000007)) % 1000000007
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % P)
     return (
-        exploded.groupBy("doc_id")
-        .agg((F.sum(term) % 1000000007).alias("fingerprint"))
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), fp.alias("fingerprint"))
+        .filter(F.size("_t") > 0)
+        .drop("_t")
     )

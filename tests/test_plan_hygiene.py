@@ -1,0 +1,90 @@
+"""Plan-shape regression tests: the physical-plan properties the 100 TB
+design rests on, asserted structurally so a refactor that silently
+reintroduces a shuffle, breaks scan pruning, or drops a pushed filter fails
+CI — the `.explain`-driven discipline as a test instead of a habit.
+
+(Complements test_no_rowwise_python_in_plans / test_all_contract_plans_are
+_arrow_only, which pin the no-per-row-Python invariant across every
+contract query.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        entrymod.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _exchanges(plan: str) -> int:
+    # count Exchange operators, not ReusedExchange references
+    return len(re.findall(r"(?<!Reused)Exchange", plan))
+
+
+def test_scan_speed_ops_have_zero_shuffles(spark):
+    """Pure per-row operators must stay pure: any Exchange in these plans
+    means someone added an aggregation/join to what should run at scan
+    speed over 100 TB."""
+    for name in ("text_pii_scrub", "text_quality_logreg", "emb_quantize",
+                 "corpus_repetition", "text_quality", "text_fingerprint"):
+        plan = _plan(spark, name)
+        assert _exchanges(plan) == 0, (name, plan[:1200])
+
+
+def test_bounded_shuffle_budgets(spark):
+    """Shuffle-count budgets for the aggregation/join operators whose
+    round-3 rewrites removed exchanges — a regression reintroduces them."""
+    budgets = {
+        "g4_cooccur": 2,        # groupBy(grp) + groupBy(a, b); was 4
+        "corpus_dupe_ngrams": 4,  # shingle distinct, gram DF, join, doc agg
+        "a1_group_sum": 1,
+        "w1_turn_ordering": 1,
+        "w3_sessionize": 1,     # both windows share one (user) shuffle
+        "t3_ohlc_downsample": 2,  # window shuffle + reused-partitioning agg
+    }
+    for name, budget in budgets.items():
+        plan = _plan(spark, name)
+        got = _exchanges(plan)
+        assert got <= budget, (name, got, budget, plan[:1500])
+
+
+def test_point_lookup_pushes_filters_to_scan(spark):
+    """J4's equality predicates must reach the parquet scan (PushedFilters),
+    and the scan must not read every column (ReadSchema pruning)."""
+    plan = _plan(spark, "j4_point_lookup")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan[:1500]
+
+
+def test_projection_prunes_scan_columns(spark):
+    """a1 groups one column and sums another: the lineitem scan must read
+    only those two (ReadSchema column pruning), never the full 16-column
+    row."""
+    plan = _plan(spark, "a1_group_sum")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(cols) <= 3, cols
+
+
+def test_small_topk_is_take_ordered_or_local(spark):
+    """ann_cosine_topk must end in TakeOrderedAndProject (a top-k, never a
+    global sort of the scored table)."""
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Sort " not in plan  # no full sort operator
+
+
+def test_broadcastable_dims_are_broadcast(spark):
+    """The kernel-off distlink verify joins the norm dictionary twice; at
+    oracle scale the dictionary must come in as a broadcast, not a shuffled
+    SMJ (Catalyst sizes it; this pins that the plan still qualifies)."""
+    plan = _plan(spark, "j1_edge_endpoint_join")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:1500]

@@ -265,3 +265,85 @@ def test_repetition_and_logprob_match_python(spark, texts):
         want = round(sum(math.log(freq[x] / total) for x in toks) / len(toks), 6)
         assert lp[i][0] == len(toks)
         assert abs(lp[i][1] - want) <= 1e-6
+
+
+# ---------------------------------------------------------- round-3 operators
+
+
+@given(st.lists(st.text(alphabet="ab @.0189+-c", min_size=0, max_size=40),
+                min_size=1, max_size=10))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """Scrubbing is idempotent (the replacement tokens contain no scrubbable
+    span) and the output never contains an email-shaped span or a 5+ digit
+    run; n_redactions is 0 exactly when text is unchanged."""
+    import re
+
+    from plume_spark.operators.text import PII_DIGITS, PII_EMAIL, pii_scrub
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    again = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(
+                [(i, once[i]["text"]) for i in once], ["doc_id", "text"]
+            )
+        ).collect()
+    }
+    for i, orig in enumerate(texts):
+        assert not re.search(PII_EMAIL, once[i]["text"])
+        assert not re.search(PII_DIGITS, once[i]["text"])
+        assert again[i]["text"] == once[i]["text"] and again[i]["n_redactions"] == 0
+        assert (once[i]["n_redactions"] == 0) == (once[i]["text"] == orig)
+
+
+@given(st.lists(st.lists(st.floats(-8, 8, allow_nan=False, width=32),
+                         min_size=1, max_size=6),
+                min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_quantize_bounds_and_reconstruction(spark, vecs):
+    """int8 quantization invariants: q in [-127, 127]; dequantized error is
+    below one quantization step (scale/127); zero vectors round-trip to
+    zeros."""
+    from plume_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    for i, v in enumerate(vecs):
+        r = rows[i]
+        assert all(-127 <= q <= 127 for q in r["q"])
+        v32 = [float(np.float32(x)) for x in v]
+        scale = max(abs(x) for x in v32)
+        if scale == 0:
+            assert r["q"] == [0] * len(v32) and r["scale"] == 0.0
+            continue
+        step = scale / 127.0
+        for x, q in zip(v32, r["q"]):
+            assert abs(x - q * step) <= step + 1e-9
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+       st.sampled_from([0.0, 0.25, 0.5, 1.0]))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mix_sample_stable_membership(spark, ids, rate):
+    """Hash sampling is a deterministic membership function: the kept set at
+    rate r is exactly {id : u(id) < r*P}, is stable across runs, and is a
+    SUBSET of the kept set at any higher rate (growing a corpus or raising a
+    source's rate never un-keeps a doc)."""
+    from plume_spark.operators import corpus
+
+    docs = spark.createDataFrame([(i, "s") for i in ids], ["doc_id", "source"])
+    def kept(r):
+        rates = spark.createDataFrame([("s", r)], ["source", "rate"])
+        return {x["doc_id"] for x in corpus.mix_sample(docs, rates).collect()}
+    lo = kept(rate)
+    assert lo == {
+        i for i in ids
+        if ((i % corpus.MIX_P) * corpus.MIX_A + corpus.MIX_B) % corpus.MIX_P
+        < rate * corpus.MIX_P
+    }
+    assert lo <= kept(min(1.0, rate + 0.25))
+    assert lo == kept(rate)
