@@ -327,9 +327,10 @@ def main():
         import __spark_entry__ as entrymod
 
         spark = get_spark(app_name="plume-explain", master=f"local[{CPUS}]")
+        qs = {**entrymod.queries(), **EXTRA_QUERIES}
         for name in sys.argv[sys.argv.index("--explain") + 1 :] or HEADLINE:
             print(f"===== {name} =====")
-            entrymod.queries()[name](spark, SF_DIR).explain("formatted")
+            qs[name](spark, SF_DIR).explain("formatted")
         return
     print(json.dumps(run_bench(SF_DIR, CPUS)))
 

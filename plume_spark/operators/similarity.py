@@ -7,14 +7,16 @@
   LSH bucket): the IVF-style scale path — at 100 TB you never all-pairs, you
   bucket then verify within buckets.
 
-Hot-path arithmetic is UNROLLED into fixed-width element_at expression chains
+PAIR-JOIN arithmetic is UNROLLED into fixed-width element_at expression chains
 (whole-stage codegen) rather than F.aggregate/F.zip_with higher-order
 functions: HOFs evaluate interpreted per element with per-call allocation —
 measured ~300 us/pair on 64-dim vectors (66 s for 200k pairs at sf0.1) vs
 single-digit seconds unrolled.  The left-fold Add chain reproduces the same
 sequential float64 summation as the HOF fold and the DuckDB oracle, so values
 are bit-identical.  Norms are computed once per row BEFORE the pair join,
-never per pair.
+never per pair.  SINGLE-PASS scans flip the trade (compiling the ~400-node
+kernel costs ~0.7 s a small scan never earns back), so brute_force_topk picks
+codegen vs HOF by Catalyst's size estimate — see CODEGEN_MIN_BYTES.
 """
 
 from __future__ import annotations

@@ -152,8 +152,13 @@ def build_graph(
     if pend_rows:
         buckets = [r["partition_id"] for r in pend_rows]
         sub = tb.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
-        cl = _with_rec_id(extract_changelog(sub))
-        staging.merge_insert(cl, ["rec_id"])
+        # checkpoint: the pruned MERGE consumes cl twice (bucket probe +
+        # anti-join/write); without it the pandas-UDF extraction would run
+        # per consumer.  Change-log records are compact — orders of
+        # magnitude below the transcript text this stage just avoided
+        # re-reading.
+        cl = _with_rec_id(extract_changelog(sub)).localCheckpoint(eager=True)
+        staging.merge_insert(cl, ["rec_id"], prune=True)
         done = transcripts.sparkSession.createDataFrame(pend_rows)
         commit_lineage(store.lineage, "extract", done, rows_out=staging.row_count())
 
@@ -165,14 +170,25 @@ def build_graph(
 def staging_table(store):
     """The change-log staging table (extraction output, rec_id-keyed MERGE
     target).  One definition shared by the batch (build_graph) and streaming
-    (streaming.ingest) write paths."""
+    (streaming.ingest) write paths.
+
+    Bucketed by rec_id so the per-increment MERGE anti-joins within the
+    incoming keys' file-buckets only (merge_insert(prune=True)) — without
+    the layout every epoch/unit-batch would rescan the ENTIRE accumulated
+    change log for the idempotency check, an O(store)-per-increment cost at
+    the 10^12-turn target (the same fix as DedupIndex's registry)."""
     from plume_spark.operators.extraction import CHANGELOG_SCHEMA
     from pyspark.sql import types as T
+
+    from plume_spark.store.catalog import TableLayout
 
     staging_schema = T.StructType(
         CHANGELOG_SCHEMA.fields + [T.StructField("rec_id", T.LongType())]
     )
-    return store.catalog.table("changelog", staging_schema)
+    layout = TableLayout(
+        bucket_by="rec_id", n_buckets=16, sort_by=("rec_id",), stats_cols=("rec_id",)
+    )
+    return store.catalog.table("changelog", staging_schema, layout)
 
 
 def materialize_graph(store, tau: float | None = None) -> dict:

@@ -51,8 +51,13 @@ class GraphStore:
         GremlinDriver.scala:61-79 / Neo4jDriver.scala:198-213), both MERGE-
         idempotent so re-running a killed job cannot duplicate
         (IDriver node-identity contract, IDriver.scala:91-98)."""
-        self.entities.merge_insert(entities, ["entity_id"])
-        self.triples.merge_insert(triples, TRIPLE_KEY)
+        # pruned MERGEs: both layouts carry their key (entity_id / conv_id),
+        # so the idempotency anti-join reads only the incoming keys' buckets —
+        # a bulkTx against a large store costs the delta, not the store.
+        # (Incoming frames are consumed twice; callers pass materialized or
+        # cheap-to-recompute deltas, the bulkTx contract.)
+        self.entities.merge_insert(entities, ["entity_id"], prune=True)
+        self.triples.merge_insert(triples, TRIPLE_KEY, prune=True)
         return {"entities": self.entities.row_count(), "triples": self.triples.row_count()}
 
     def clear(self) -> None:

@@ -89,8 +89,11 @@ def stream_build(
         n = batch_df.count()
         if n == 0:
             return
-        cl = _with_rec_id(extract_changelog(batch_df))
-        staging.merge_insert(cl, ["rec_id"])
+        # checkpoint + pruned MERGE: the idempotency anti-join touches only
+        # the file-buckets this epoch's rec_ids hash into, so per-epoch cost
+        # tracks the batch, not the accumulated change log
+        cl = _with_rec_id(extract_changelog(batch_df)).localCheckpoint(eager=True)
+        staging.merge_insert(cl, ["rec_id"], prune=True)
         # per-epoch lineage/metrics (A6 pass-metrics analog; stage="stream"
         # keys by epoch, disjoint from the batch path's bucket ids)
         unit = batch_df.sparkSession.createDataFrame(

@@ -56,8 +56,11 @@ def main() -> None:
     bsigs = bsigs.localCheckpoint(eager=True)
     btoks = btoks.localCheckpoint(eager=True)
 
+    reps_list = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_PROBE_REPS", "1,5,20").split(",")
+    )
     points = []
-    for reps in (1, 5, 20):
+    for reps in reps_list:
         path = tempfile.mkdtemp(prefix=f"dedup-epoch-probe-{reps}x-")
         try:
             idx = DedupIndex(spark, path)

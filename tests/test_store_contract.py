@@ -295,3 +295,49 @@ def test_compact_and_expire_snapshots(spark, store):
             if f.endswith(".parquet"):
                 on_disk.add(os.path.relpath(os.path.join(dirpath, f), t.path))
     assert on_disk == set(t.files_for())
+
+
+def test_reader_never_sees_torn_snapshot(spark, tmp_path):
+    """Atomic-commit contract under a concurrent reader: while a writer
+    commits overwrite snapshots of (version-stamped) rows, a reader thread
+    re-opening the table must only ever observe a CONSISTENT snapshot —
+    every row carries the same version stamp and the full row count — never
+    a mix of two commits or a partial fileset.  (Single-writer is assumed;
+    this pins reader-vs-writer isolation, the property the `_current`
+    pointer flip provides.)"""
+    import threading
+
+    from pyspark.sql import types as T
+
+    from plume_spark.store.catalog import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ver", T.LongType())]
+    )
+    t = SnapshotTable(spark, str(tmp_path / "torn"), schema=schema)
+    n = 50
+    t.overwrite(spark.range(n).select(F.col("id").alias("k"), F.lit(0).alias("ver")))
+
+    bad: list[tuple] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            rows = t.read().collect()
+            vers = {r["ver"] for r in rows}
+            if len(vers) != 1 or len(rows) != n:
+                bad.append((sorted(vers), len(rows)))
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for v in range(1, 6):
+            t.overwrite(
+                spark.range(n).select(F.col("id").alias("k"), F.lit(v).alias("ver"))
+            )
+    finally:
+        stop.set()
+        th.join()
+    assert not bad, f"reader observed torn snapshots: {bad[:3]}"
+    assert {r["ver"] for r in t.read().collect()} == {5}

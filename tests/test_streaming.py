@@ -42,11 +42,13 @@ def test_stream_matches_batch_and_redrain_is_noop(spark, tmp_path):
     stats = stream_build(stream, s, ckpt, tau=0.95)
     assert stats["epochs"] >= 2  # maxFilesPerTrigger=1 forces per-file epochs
     assert stats["rows_in"] == t.count()
-    # post-drain maintenance ran: staging holds one layout-conforming fileset,
-    # not one fileset per epoch
+    # post-drain maintenance ran: staging holds one layout-conforming fileset
+    # (at most one file per rec_id hash-bucket), not one fileset per epoch
     assert stats.get("compacted") is True
-    staging = s.catalog.table("changelog")
-    assert len(staging.files_for()) < stats["epochs"] * 2
+    from plume_spark.pipeline import staging_table
+
+    staging = staging_table(s)
+    assert len(staging.files_for()) <= staging.layout.n_buckets
 
     b = GraphStore(spark, str(tmp_path / "batch-store"))
     build_graph(t, b, tau=0.95)
