@@ -897,6 +897,94 @@ def _q_stream_ordered_release(spark, sf):
     return spark.read.parquet(outdir).select("conv_id", "turn_idx", "role", "text")
 
 
+def _q_stream_sessionize(spark, sf):
+    # The SECOND custom stateful operator run for real: gap sessionization
+    # under bounded-disorder continuous arrival.  Events land in three
+    # chronological windows, except events within 10 minutes of a window
+    # boundary straggle into the NEXT file — they arrive an epoch late but
+    # ahead of the 30-minute watermark, so state must reorder them.  Two
+    # far-future sentinel landings advance the global watermark and fire the
+    # event-time timeouts that flush every buffered tail.  The oracle is the
+    # batch w3 window semantics (same gap rule), sentinel user excluded.
+    import datetime
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from plume_spark.streaming.ingest import file_stream
+    from plume_spark.streaming.stateful import stream_sessionize
+
+    for stale in glob.glob(f"{tempfile.gettempdir()}/plume-sess-contract-*-p*"):
+        try:
+            owner = int(stale.rsplit("-p", 1)[1])
+        except ValueError:
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+
+    e = graft.load(spark, sf, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    straggle = datetime.timedelta(minutes=10)
+    d = tempfile.mkdtemp(prefix="plume-sess-contract-", suffix=f"-p{os.getpid()}")
+    inbox, ckpt, outdir = f"{d}/in", f"{d}/ck", f"{d}/out"
+    bounds = [lo + span, lo + 2 * span]
+    ts = F.col("ts")
+    windows = [
+        ts < F.lit(bounds[0]),
+        (ts >= F.lit(bounds[0])) & (ts < F.lit(bounds[1])),
+        ts >= F.lit(bounds[1]),
+    ]
+    is_straggler = F.lit(False)
+    for b in bounds:
+        is_straggler = is_straggler | ((ts >= F.lit(b - straggle)) & (ts < F.lit(b)))
+    prev_stragglers = None
+    for k, w in enumerate(windows):
+        cur = e.filter(w)
+        land = cur.filter(~is_straggler) if k < 2 else cur
+        if prev_stragglers is not None:
+            land = land.unionByName(prev_stragglers)
+        prev_stragglers = cur.filter(is_straggler) if k < 2 else None
+        land.write.mode("append").parquet(inbox)
+        time.sleep(0.15)
+
+    def drain():
+        q = (
+            stream_sessionize(
+                file_stream(spark, inbox, e.schema, max_files_per_trigger=1),
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    for i in (1, 2):
+        sent = spark.createDataFrame(
+            [(10**9 + i, hi + datetime.timedelta(days=30 * i), -1, "click", 0.0, "{}")],
+            e.schema,
+        )
+        sent.write.mode("append").parquet(inbox)
+        time.sleep(0.15)
+        drain()
+    return (
+        spark.read.parquet(outdir)
+        .filter("user_id >= 0")
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
 def _q_dedup_incr(spark, sf):
     # incremental near-dup: docs with doc_id % 4 == 0 arrive as the "new
     # crawl batch"; the rest are the pre-built index.  Output = pairs
@@ -1033,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "w5_funnel": _q_w5_funnel,
         "t3_ohlc_downsample": _q_t3_ohlc_downsample,
+        "stream_sessionize": _q_stream_sessionize,
     }
 
 
@@ -1838,6 +1927,20 @@ def oracle_sql() -> dict[str, str]:
                      + {LOGREG_W['f_stop']} * f_stop
                      + {LOGREG_W['f_word']} * f_word))), 6) AS score
         FROM f"""
+    sql["stream_sessionize"] = """
+        SELECT event_id, user_id,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_idx
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT event_id, user_id, ts,
+                   epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS gap
+            FROM events))"""
     sql["w5_funnel"] = """
         WITH c AS (SELECT user_id, min(ts) AS t_click FROM events
                    WHERE event_type = 'click' GROUP BY user_id),

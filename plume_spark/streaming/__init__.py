@@ -9,7 +9,7 @@ from plume_spark.streaming.dedup import (
     read_document_stream,
     stream_dedup,
 )
-from plume_spark.streaming.stateful import ordered_turn_release
+from plume_spark.streaming.stateful import ordered_turn_release, stream_sessionize
 
 __all__ = [
     "read_transcript_stream",
@@ -20,4 +20,5 @@ __all__ = [
     "read_document_stream",
     "stream_dedup",
     "ordered_turn_release",
+    "stream_sessionize",
 ]

@@ -98,6 +98,93 @@ def _release(
     yield from _release_logic(pdfs, state, gap_timeout_ms=None)
 
 
+# ---------------------------------------------------------------------------
+# streaming sessionization (the batch w3 semantics under continuous arrival)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # same gap rule as the batch operator / oracle
+SESSION_OUTPUT = "event_id long, user_id long, ts timestamp, session_idx long"
+# released-through event-time boundary, last released event time, running
+# session counter, JSON-buffered (event_id, ts_us) pairs awaiting watermark
+SESSION_STATE = "boundary_us long, last_ts_us long, session_idx long, buffered string"
+
+
+def _sessionize_logic(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    boundary_us, last_ts_us, session_idx, buffered = (
+        state.get if state.exists else (-(2**62), None, 0, "[]")
+    )
+    rows: dict[int, int] = {r[0]: r[1] for r in json.loads(buffered)}
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for eid, ts in zip(pdf["event_id"], pdf["ts"]):
+                if pd.isnull(ts):
+                    continue
+                ts_us = int(ts.value // 1000)
+                # <= boundary means already released (crash replay) or late
+                # beyond the watermark (dropped, the watermark contract);
+                # buffer dedup by event_id handles within-window redelivery
+                if ts_us > boundary_us and eid not in rows:
+                    rows[int(eid)] = ts_us
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    ready = sorted(
+        ((ts_us, eid) for eid, ts_us in rows.items() if ts_us <= wm_us)
+    )
+    out = []
+    for ts_us, eid in ready:
+        if last_ts_us is None or ts_us - last_ts_us > SESSION_GAP_S * 1_000_000:
+            session_idx += 1
+        last_ts_us = ts_us
+        out.append((eid, key[0], ts_us, session_idx))
+        del rows[eid]
+    boundary_us = max(boundary_us, wm_us)
+    state.update(
+        (boundary_us, last_ts_us, session_idx, json.dumps(sorted(rows.items())))
+    )
+    if rows:
+        # wake this group on the next watermark advance even if no new
+        # events arrive for it — buffered tails must not wait for traffic
+        state.setTimeoutTimestamp(max(wm_us // 1000 + 1, 1))
+    if out:
+        pdf = pd.DataFrame(out, columns=["event_id", "user_id", "ts", "session_idx"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+        yield pdf
+
+
+def stream_sessionize(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap-based sessionization: per user, events are buffered
+    until the event-time watermark passes them, then released in (ts,
+    event_id) order with a session index that increments on gaps >
+    SESSION_GAP_S — the applyInPandasWithState recast of the batch
+    `w3_sessionize` window (same gap rule, so a drained stream equals the
+    batch result row-for-row; pinned by test_stream_sessionize_equals_batch).
+
+    Out-of-order arrival within the watermark reorders correctly; events
+    later than the watermark are dropped (the standard lateness contract);
+    duplicate deliveries dedup by event_id in-buffer and by the released
+    boundary across restarts.  Event-time timeouts re-invoke groups whose
+    buffers are waiting, so a user's tail releases when the GLOBAL watermark
+    advances, not only when that user sees new traffic.  State per user is
+    O(events inside the watermark window), never O(history)."""
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (LTZ); parquet event tables often carry
+    # TIMESTAMP_NTZ — the cast reinterprets the same wall-clock instant
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_logic,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def ordered_turn_release(
     transcripts_stream: DataFrame, gap_timeout_ms: int | None = None
 ) -> DataFrame:

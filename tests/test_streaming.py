@@ -361,3 +361,84 @@ def test_dedup_index_layout_prunes(spark, tmp_path):
     idx.toks.append(toks)
     some = d.select("doc_id").first()["doc_id"]
     assert len(idx.sigs.files_for(point={"doc_id": some})) < len(idx.sigs.files_for())
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """Streaming gap sessionization under out-of-order arrival converges to
+    the batch w3 window exactly: events land in event_id-mod files (so each
+    user's timeline is split across epochs), the watermark releases them in
+    event-time order, and after a far-future sentinel advances the global
+    watermark every buffered tail flushes — output == the batch operator
+    row-for-row."""
+    from pyspark.sql import Window
+
+    from plume_spark.streaming.ingest import file_stream
+    from plume_spark.streaming.stateful import stream_sessionize
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inbox, ckpt, outdir = (
+        str(tmp_path / "ev-in"), str(tmp_path / "ev-ck"), str(tmp_path / "ev-out")
+    )
+    # bounded-disorder arrival (the watermark contract's regime): events land
+    # in chronological thirds, except each third's last 20 events straggle
+    # into the NEXT file — they arrive an epoch late but still ahead of the
+    # watermark (which trails the on-time prefix by 30 min), so the operator
+    # must reorder them, not drop them.  A mod-id split would make a third
+    # of the corpus later than the watermark, which is legitimately dropped.
+    ordered = [r["event_id"] for r in e.orderBy("ts", "event_id").collect()]
+    n = len(ordered)
+    thirds = [ordered[: n // 3], ordered[n // 3 : 2 * n // 3], ordered[2 * n // 3 :]]
+    files: list[list] = [[], [], []]
+    for k, third in enumerate(thirds):
+        on_time, stragglers = third[:-20], third[-20:]
+        files[k].extend(on_time)
+        files[min(k + 1, 2)].extend(stragglers)
+    for ids in files:
+        _land(e.filter(F.col("event_id").isin(ids)), inbox)
+
+    def drain():
+        q = (
+            stream_sessionize(
+                file_stream(spark, inbox, e.schema, max_files_per_trigger=1),
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # sentinel: one far-future event pushes the global watermark past every
+    # real event; a second drain fires the event-time timeouts that flush
+    # the remaining buffered tails
+    max_ts = e.agg(F.max("ts")).first()[0]
+    import datetime
+
+    for i in (1, 2):
+        sent = spark.createDataFrame(
+            [(10**9 + i, max_ts + datetime.timedelta(days=30 * i), -1, "click", 0.0, "{}")],
+            e.schema,
+        )
+        _land(sent, inbox)
+        drain()
+
+    got = {
+        (r["event_id"], r["user_id"], r["session_idx"])
+        for r in spark.read.parquet(outdir).filter("user_id >= 0").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
+    expected = {
+        (r["event_id"], r["user_id"], r["session_idx"])
+        for r in e.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn("session_idx", F.sum("new_sess").over(w).cast("long"))
+        .select("event_id", "user_id", "session_idx")
+        .collect()
+    }
+    assert got == expected and expected
