@@ -386,6 +386,79 @@ def _q_emb_quantize(spark, sf):
     return similarity.quantize_embeddings(graft.load(spark, sf, "embeddings"))
 
 
+def _q_kg_entity_degrees(spark, sf):
+    """Graph analytics over the BUILT knowledge graph (not the raw tables):
+    per canonical entity, out-degree, in-degree, and distinct predicates —
+    the degree-distribution read every KG consumer starts with.  Pure
+    composition over the flagship pipeline's output; the oracle re-derives
+    the triple set via the same gram-fingerprint canonicalization CTE."""
+    named = triples_with_names(run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95))
+    outd = named.groupBy(F.col("subj_name").alias("name")).agg(
+        F.count("*").alias("out_deg"),
+        F.countDistinct("pred").alias("n_preds"),
+    )
+    ind = named.groupBy(F.col("obj_name").alias("name")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        outd.join(ind, "name", "full")
+        .select(
+            "name",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("n_preds", F.lit(0)).alias("n_preds"),
+        )
+    )
+
+
+def _q_t4_resample_gapfill(spark, sf):
+    """Hourly resample with forward fill: a per-user time spine (every hour
+    from the user's first to last event) left-joined to the hourly
+    aggregates; empty buckets carry the previous close forward — the
+    telemetry/metrics gap-fill shape.  The spine is generated by a sequence
+    expression (no spine table materialized), the fill is one IGNORE NULLS
+    window over the (user, bucket) shuffle the aggregate already made."""
+    e = graft.load(spark, sf, "events").withColumn(
+        "bucket_ts", F.date_trunc("hour", F.col("ts"))
+    )
+    wd = Window.partitionBy("user_id", "bucket_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        e.withColumn("_rd", F.row_number().over(wd))
+        .groupBy("user_id", "bucket_ts")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("v_close"),
+        )
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(
+            F.min("bucket_ts").alias("_lo"),
+            F.max("bucket_ts").alias("_hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(_lo, _hi, interval 1 hour)")).alias("bucket_ts"),
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "bucket_ts"], "left")
+        .select(
+            "user_id",
+            "bucket_ts",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.last("v_close", ignorenulls=True).over(wf), 6).alias("v_fill"),
+        )
+    )
+
+
 def _q_w5_funnel(spark, sf):
     """Ordered conversion funnel (click -> view -> purchase, strictly later
     stages only): per-stage first-completion times + reached stage.  Three
@@ -1122,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_funnel": _q_w5_funnel,
         "t3_ohlc_downsample": _q_t3_ohlc_downsample,
         "stream_sessionize": _q_stream_sessionize,
+        "kg_entity_degrees": _q_kg_entity_degrees,
+        "t4_resample_gapfill": _q_t4_resample_gapfill,
     }
 
 
@@ -1603,6 +1678,38 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         JOIN canon cs ON cs.norm = t.subj_norm
         JOIN canon co ON co.norm = t.obj_norm"""
+    # degree analytics over the SAME canonicalized triple set as the flagship
+    # oracle: wrap its full query as a CTE and aggregate
+    sql["kg_entity_degrees"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        o AS (SELECT subj_name AS name, count(*) AS out_deg,
+                     count(DISTINCT pred) AS n_preds
+              FROM kg GROUP BY subj_name),
+        i AS (SELECT obj_name AS name, count(*) AS in_deg FROM kg GROUP BY obj_name)
+        SELECT coalesce(o.name, i.name) AS name,
+               coalesce(o.out_deg, 0) AS out_deg,
+               coalesce(i.in_deg, 0) AS in_deg,
+               coalesce(o.n_preds, 0) AS n_preds
+        FROM o FULL JOIN i ON o.name = i.name"""
+    sql["t4_resample_gapfill"] = """
+        WITH h AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket_ts, count(*) AS n,
+                 max(CASE WHEN rd = 1 THEN value END) AS v_close
+          FROM (SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                         ORDER BY ts DESC, event_id DESC) AS rd
+                FROM events)
+          GROUP BY user_id, date_trunc('hour', ts)),
+        spine AS (
+          SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+          FROM (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+                FROM h GROUP BY user_id))
+        SELECT s.user_id, s.bucket_ts,
+               coalesce(h.n, 0) AS n,
+               round(last_value(h.v_close IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_fill
+        FROM spine s LEFT JOIN h ON h.user_id = s.user_id AND h.bucket_ts = s.bucket_ts"""
     from plume_spark.schemas import EDGE_CONSTRAINTS
 
     rules_values = ", ".join(
