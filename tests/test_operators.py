@@ -786,7 +786,7 @@ def test_all_contract_plans_are_arrow_only(spark):
     their own tests)."""
     import __spark_entry__ as entrymod
 
-    skip = {"stream_ordered_release"}  # starts a real stream on invocation
+    skip = {"stream_ordered_release", "stream_sessionize"}  # run real streams on invocation
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue
