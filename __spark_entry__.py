@@ -176,6 +176,22 @@ def _q_j7r(spark, sf):
     return traversal.reachable(edges, seeds)
 
 
+def _q_g5_bfs(spark, sf):
+    """Min-hop BFS distances over the 3-level transcript DAG from the same
+    seed set as j7_reachable — the distance-annotated traversal.  The engine
+    runs the generic iterative frontier BFS (cycle-safe via the visited
+    anti-join); the oracle exploits the known DAG shape: dist 0 = seeds,
+    dist 1 = their orders, dist 2 = those orders' parts, MIN() folding
+    multi-path reaches."""
+    edges = graft.dag_edges(spark, sf)
+    seeds = (
+        graft.load(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 3)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return traversal.bfs_distances(edges, seeds)
+
+
 def _q_g1_pagerank(spark, sf):
     """Iterative PageRank (3 synchronous iterations) over the 3-level DAG —
     one shuffle per iteration, partial-agg contributions (skew-safe)."""
@@ -1129,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_out_neighbors": _q_j6,
         "j7_two_hop": _q_j7,
         "j7_reachable": _q_j7r,
+        "g5_bfs_dist": _q_g5_bfs,
         "j4_point_lookup": _q_j4,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1384,6 +1401,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT 2000000 + l_partkey
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE o_custkey < 3"""
+    sql["g5_bfs_dist"] = """
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+          SELECT c_custkey AS node, 0 AS dist FROM customer WHERE c_custkey < 3
+          UNION ALL
+          SELECT 1000000 + o_orderkey, 1 FROM orders WHERE o_custkey < 3
+          UNION ALL
+          SELECT 2000000 + l_partkey, 2
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_custkey < 3
+        ) GROUP BY node"""
     names = ", ".join(f"'{n}'" for n in LOOKUP_NAMES)
     sql["j4_point_lookup"] = (
         f"SELECT c_custkey, c_name FROM customer WHERE c_name IN ({names})"

@@ -66,6 +66,45 @@ def reachable(edges: DataFrame, seeds: DataFrame, max_hops: int = 20) -> DataFra
     return visited
 
 
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 20) -> DataFrame:
+    """Min-hop BFS distances from a seed set: ``(node, dist)`` with dist =
+    length of the shortest directed path from any seed (distance-annotated
+    variant of :func:`reachable`; the astDFS depth counter of
+    OverflowDbReadBenchmark.scala:52-78 recast as synchronous frontier BFS).
+
+    A node joins ``visited`` the first time a frontier reaches it, so its
+    recorded dist is minimal by BFS level-order — no re-relaxation pass is
+    needed.  Cost per hop is one shuffle (frontier⋈edges) plus the
+    visited anti-join; cycles are handled by the anti-join, and lineage is
+    truncated with localCheckpoint on the same cadence as the other
+    iterative operators, so the plan stays O(1) deep at any hop count.
+    """
+    visited = (
+        seeds.select(F.col("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["subj"])
+            .select(F.col("obj").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        if hop % CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
+
+
 def k_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     """Exactly-k-hop frontier (bounded traversal — the benchmarkable form)."""
     frontier = seeds.select("node").distinct()

@@ -231,6 +231,36 @@ def test_triangle_count_matches_bruteforce(spark, raw_edges):
     assert got == expected
 
 
+@given(
+    st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=40),
+    st.sets(st.integers(0, 11), min_size=1, max_size=3),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bfs_distances_match_bruteforce(spark, raw_edges, seeds):
+    """bfs_distances == Python level-order BFS on random directed graphs,
+    cycles and self-loops included (the cyclic case the contract query's
+    DAG never exercises)."""
+    from collections import deque
+
+    from plume_spark.operators.traversal import bfs_distances
+
+    adj: dict[int, set[int]] = {}
+    for a, b in raw_edges:
+        adj.setdefault(a, set()).add(b)
+    expected: dict[int, int] = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in expected:
+                expected[v] = expected[u] + 1
+                dq.append(v)
+    e = spark.createDataFrame(list({(a, b) for a, b in raw_edges}), ["subj", "obj"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
+    assert got == expected
+
+
 @given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8))
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 def test_repetition_and_logprob_match_python(spark, texts):
