@@ -631,6 +631,18 @@ def _q_g4_cooccur(spark, sf):
     return co_occurrence_edges(li, "l_orderkey", "l_partkey")
 
 
+def _q_g6_label_prop(spark, sf):
+    """Synchronous label propagation (2 rounds) over the transcript DAG read
+    as an undirected graph — deterministic community labels (neighbor
+    majority, min-label ties).  The oracle is generated next to the
+    operator (label_prop_oracle_sql) with the rounds unrolled, so the
+    symmetrization and tie-break rules can never silently diverge."""
+    from plume_spark.operators.graph_metrics import label_propagation
+
+    edges = graft.dag_edges(spark, sf)
+    return label_propagation(edges, n_iters=2, a="subj", b="obj")
+
+
 def _q_diag_hot_keys(spark, sf):
     """Skew diagnostic: heaviest join-key values with row share — what sizes
     n_salts / flags AQE-skew candidates before a big join."""
@@ -1185,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_components": _q_g2_components,
         "g3_triangles": _q_g3_triangles,
         "g4_cooccur": _q_g4_cooccur,
+        "g6_label_prop": _q_g6_label_prop,
         "w3_sessionize": _q_w3_sessionize,
         "diag_hot_keys": _q_diag_hot_keys,
         "t1_asof_join": _q_t1_asof_join,
@@ -1923,6 +1936,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["g4_cooccur"] = cooccur_oracle_sql(
         "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem"
+    )
+    from plume_spark.operators.graph_metrics import label_prop_oracle_sql
+
+    sql["g6_label_prop"] = label_prop_oracle_sql(
+        """SELECT o_custkey AS a, 1000000 + o_orderkey AS b FROM orders
+           UNION ALL
+           SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem""",
+        n_iters=2,
     )
     from plume_spark.operators.components import components_oracle_sql
 

@@ -261,6 +261,38 @@ def test_bfs_distances_match_bruteforce(spark, raw_edges, seeds):
     assert got == expected
 
 
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=30),
+    st.integers(1, 3),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_label_propagation_matches_bruteforce(spark, raw_edges, n_iters):
+    """Synchronous LPA == Python reference (neighbor-majority, min-label
+    tie-break, simultaneous update) on random graphs."""
+    from collections import Counter
+
+    from plume_spark.operators.graph_metrics import label_propagation
+
+    sym: dict[int, set[int]] = {}
+    for x, y in raw_edges:
+        if x != y:
+            sym.setdefault(x, set()).add(y)
+            sym.setdefault(y, set()).add(x)
+    if not sym:
+        return
+    labels = {n: n for n in sym}
+    for _ in range(n_iters):
+        nxt = {}
+        for n, nbrs in sym.items():
+            cnt = Counter(labels[v] for v in nbrs)
+            top = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+    e = spark.createDataFrame(list({(x, y) for x, y in raw_edges}), ["a", "b"])
+    got = {r["node"]: r["label"] for r in label_propagation(e, n_iters=n_iters).collect()}
+    assert got == labels
+
+
 @given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8))
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 def test_repetition_and_logprob_match_python(spark, texts):
