@@ -427,6 +427,69 @@ def _q_kg_entity_degrees(spark, sf):
     )
 
 
+def _kg_with_regions(spark, sf):
+    """Flagship triples unioned with nation->region 'located_in' edges (same
+    norm as the pipeline, applied to nation/region names from the source
+    tables) — the two-relation KG that makes path composition non-trivial."""
+    from plume_spark.functions.textnorm import norm_col
+
+    named = triples_with_names(run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95))
+    t1 = named.select("subj_name", "pred", "obj_name")
+    n = graft.load(spark, sf, "nation")
+    r = graft.load(spark, sf, "region")
+    t2 = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            norm_col("n_name").alias("subj_name"),
+            F.lit("located_in").alias("pred"),
+            norm_col("r_name").alias("obj_name"),
+        )
+    )
+    return t1.unionByName(t2).distinct()
+
+
+def _q_kg_path2(spark, sf):
+    """2-hop relation composition over the built KG + located_in edges:
+    how many (subj -pred1-> mid -pred2-> obj) paths exist per predicate
+    pair — the relation-cooccurrence statistic schema-inference and
+    rule-mining passes start from.
+
+    Scale: the naive formulation self-joins the triple table on
+    mid-entity (fan-out = in-deg x out-deg per entity — quadratic at hub
+    entities).  This is rewritten as the degree product: per mid entity,
+    count incoming edges per pred1 and outgoing per pred2, join the two
+    SMALL per-entity aggregates, and sum n_in * n_out — identical counts,
+    but the path set is never materialized and the worst case is
+    O(|entities| x |preds|^2), not O(paths).  The oracle runs the naive
+    join so the rewrite is verified against the definition."""
+    d = _kg_with_regions(spark, sf)
+    inc = d.groupBy(F.col("obj_name").alias("mid"), F.col("pred").alias("pred1")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    outc = d.groupBy(
+        F.col("subj_name").alias("mid"), F.col("pred").alias("pred2")
+    ).agg(F.count(F.lit(1)).alias("n_out"))
+    return (
+        inc.join(outc, "mid")
+        .groupBy("pred1", "pred2")
+        .agg(F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"))
+    )
+
+
+def _q_kg_triple_support(spark, sf):
+    """Per canonical triple: mention support — total mentions, distinct
+    conversations, and first turn seen.  The confidence signal downstream
+    KG consumers rank/threshold on (a triple asserted across many
+    independent conversations outranks a one-off).  One partial-agg
+    groupBy over the flagship output; countDistinct(conv_id) is exact."""
+    named = triples_with_names(run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95))
+    return named.groupBy("subj_name", "pred", "obj_name").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.min("turn_idx").alias("first_turn"),
+    )
+
+
 def _q_t4_resample_gapfill(spark, sf):
     """Hourly resample with forward fill: a per-user time spine (every hour
     from the user's first to last event) left-joined to the hourly
@@ -641,6 +704,88 @@ def _q_g6_label_prop(spark, sf):
 
     edges = graft.dag_edges(spark, sf)
     return label_propagation(edges, n_iters=2, a="subj", b="obj")
+
+
+def _q_g7_kcore(spark, sf):
+    """k-core (k=3) of the part co-purchase graph: iterative whole-round
+    peeling until fixpoint — the cohesion filter run before community or
+    embedding passes.  The engine peels with a convergence test and raises
+    past max_iters; the oracle unrolls the same number of rounds (peeling
+    is idempotent at the fixpoint, so over-unrolling is harmless and
+    under-unrolling cannot pass silently)."""
+    from plume_spark.operators.graph_metrics import co_occurrence_edges, k_core
+
+    li = graft.load(spark, sf, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return k_core(edges, k=3, max_iters=8)
+
+
+def _q_g8_common_neighbors(spark, sf):
+    """Link prediction over the strong-tie backbone (part pairs sharing >= 2
+    orders): for every non-adjacent pair with a shared neighbor, the
+    common-neighbor count and neighbor-set Jaccard — the structural
+    missing-edge candidate generator.  Middle nodes above the degree cap
+    are excluded from the wedge role (hub pairs carry no signal), the same
+    degenerate-hub policy as the LSH band cap."""
+    from plume_spark.operators.graph_metrics import (
+        co_occurrence_edges,
+        common_neighbors,
+    )
+
+    li = graft.load(spark, sf, "lineitem")
+    backbone = co_occurrence_edges(li, "l_orderkey", "l_partkey").filter(
+        F.col("n_groups") >= 2
+    )
+    return common_neighbors(backbone, max_degree=64)
+
+
+def _q_w6_event_runs(spark, sf):
+    """Consecutive-run detection (gaps-and-islands): per user and event
+    type, the longest unbroken run and run count — the retry/streak pattern
+    read (N failed tool calls in a row) that sequential transcript QA
+    needs.  Two window row_numbers whose DIFFERENCE is constant within a
+    run (the textbook islands trick: no self-join, no UDF), then two
+    partial aggs; both windows share the one (user_id) shuffle."""
+    e = graft.load(spark, sf, "events")
+    w_all = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    runs = (
+        e.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_typ))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.max("run_len").alias("max_run"), F.count(F.lit(1)).alias("n_runs")
+    )
+
+
+def _q_corpus_quality_tiers(spark, sf):
+    """CCNet-style quality tiering: bucket docs by their unigram
+    log-likelihood against FIXED thresholds (head/middle/tail), report
+    per-tier doc and token totals — the corpus-curriculum split.  Fixed
+    thresholds (not quantiles) are the scale-safe reading: no global sort
+    or single-partition window, the tier is a pure projection over the
+    per-doc score, and the aggregate is two partial-agg sums.  Thresholds
+    compare the 6dp-ROUNDED score, which both engines agree on, so the
+    bucketing is deterministic cross-engine."""
+    lp = corpus.unigram_logprob(graft.load(spark, sf, "documents"))
+    tier = (
+        F.when(F.col("avg_logprob") > -3.401, F.lit("head"))
+        .when(F.col("avg_logprob") > -3.404, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        lp.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+    )
 
 
 def _q_diag_hot_keys(spark, sf):
@@ -1227,6 +1372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "kg_entity_degrees": _q_kg_entity_degrees,
         "t4_resample_gapfill": _q_t4_resample_gapfill,
+        "kg_path2": _q_kg_path2,
+        "kg_triple_support": _q_kg_triple_support,
+        "g7_kcore": _q_g7_kcore,
+        "g8_common_neighbors": _q_g8_common_neighbors,
+        "w6_event_runs": _q_w6_event_runs,
+        "corpus_quality_tiers": _q_corpus_quality_tiers,
     }
 
 
@@ -1731,6 +1882,39 @@ def oracle_sql() -> dict[str, str]:
                coalesce(i.in_deg, 0) AS in_deg,
                coalesce(o.n_preds, 0) AS n_preds
         FROM o FULL JOIN i ON o.name = i.name"""
+    # kg_path2's oracle is the NAIVE path self-join (the definition); the
+    # engine runs the degree-product rewrite — counts must agree exactly
+    _nation_norm = NORM_SQL.format(col="n_name")
+    _region_norm = NORM_SQL.format(col="r_name")
+    sql["kg_path2"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        t1 AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg),
+        t2 AS (SELECT DISTINCT {_nation_norm} AS subj_name,
+                      'located_in' AS pred, {_region_norm} AS obj_name
+               FROM nation JOIN region ON n_regionkey = r_regionkey),
+        d AS (SELECT * FROM t1 UNION SELECT * FROM t2)
+        SELECT a.pred AS pred1, b.pred AS pred2, count(*) AS n_paths
+        FROM d a JOIN d b ON a.obj_name = b.subj_name
+        GROUP BY a.pred, b.pred"""
+    sql["kg_triple_support"] = f"""
+        WITH kg AS ({sql['kg_build_triples']})
+        SELECT subj_name, pred, obj_name, count(*) AS n_mentions,
+               count(DISTINCT conv_id) AS n_convs,
+               CAST(min(turn_idx) AS INT) AS first_turn
+        FROM kg GROUP BY subj_name, pred, obj_name"""
+    sql["w6_event_runs"] = """
+        WITH runs AS (
+          SELECT user_id, event_type, count(*) AS run_len
+          FROM (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)
+                     - row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts ASC, event_id ASC) AS grp
+                FROM events)
+          GROUP BY user_id, event_type, grp)
+        SELECT user_id, event_type, max(run_len) AS max_run,
+               count(*) AS n_runs
+        FROM runs GROUP BY user_id, event_type"""
     sql["t4_resample_gapfill"] = """
         WITH h AS (
           SELECT user_id, date_trunc('hour', ts) AS bucket_ts, count(*) AS n,
@@ -1858,6 +2042,13 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_tok / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
         FROM tk JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["corpus_quality_tiers"] = f"""
+        WITH lp AS ({sql['corpus_unigram_logprob']})
+        SELECT CASE WHEN avg_logprob > -3.401 THEN 'head'
+                    WHEN avg_logprob > -3.404 THEN 'middle'
+                    ELSE 'tail' END AS tier,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        FROM lp GROUP BY 1"""
     sql["f5_json_payload"] = """
         WITH j AS (SELECT event_id,
                           to_json(struct_pack(t := event_type, v := value)) AS doc
@@ -1944,6 +2135,22 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem""",
         n_iters=2,
+    )
+    from plume_spark.operators.graph_metrics import (
+        common_neighbors_oracle_sql,
+        kcore_oracle_sql,
+    )
+
+    # same co-purchase pair derivation as g3/g4, then the unrolled peel /
+    # wedge SQL generated next to the operators (caps + rules in lockstep)
+    _copurchase = cooccur_oracle_sql(
+        "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem"
+    )
+    sql["g7_kcore"] = kcore_oracle_sql(
+        f"SELECT a, b FROM ({_copurchase})", k=3, n_iters=8
+    )
+    sql["g8_common_neighbors"] = common_neighbors_oracle_sql(
+        f"SELECT a, b FROM ({_copurchase}) WHERE n_groups >= 2", max_degree=64
     )
     from plume_spark.operators.components import components_oracle_sql
 

@@ -793,3 +793,41 @@ def test_all_contract_plans_are_arrow_only(spark):
         df = fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, (name, plan[:1500])
+
+
+def test_k_core_hand_computed(spark):
+    """K4 plus a tail 4-5-6: the 3-core is exactly the K4 (every K4 node
+    keeps degree 3), the tail peels off over two rounds (6 first, then 5)."""
+    from plume_spark.operators.graph_metrics import k_core
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4 + [(4, 5), (5, 6)], ["a", "b"])
+    got = {r["node"]: r["core_deg"] for r in k_core(e, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the densest core -> empty, converged (no raise)
+    assert k_core(e, k=4).count() == 0
+    # non-convergence within max_iters raises loudly (oracle-unroll safety):
+    # a 10-chain peels one edge per round end-to-end under k=2? no — chain
+    # endpoints peel simultaneously, ~n/2 rounds; force max_iters=1 instead
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(chain, k=2, max_iters=1)
+
+
+def test_common_neighbors_hand_computed(spark):
+    """Path 1-2-3 plus 1-4, 3-4: non-adjacent pair (1,3) shares {2,4};
+    adjacent pairs are excluded; Jaccard uses full degrees."""
+    from plume_spark.operators.graph_metrics import common_neighbors
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 4), (3, 4)], ["a", "b"])
+    rows = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+            for r in common_neighbors(e).collect()}
+    # deg: 1->2, 2->2, 3->2, 4->2; (1,3): common {2,4} = 2, J = 2/(2+2-2) = 1
+    # (2,4): common {1,3} = 2, J = 1; adjacent pairs absent
+    assert rows == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+    # hub middles above the cap generate no wedges: star center 0 with 5
+    # spokes at cap 4 -> no candidate pairs at all
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    assert common_neighbors(star, max_degree=4).count() == 0
+    # at cap >= 5 the star yields all C(5,2) spoke pairs with common=1
+    assert common_neighbors(star, max_degree=5).count() == 10
