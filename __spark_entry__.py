@@ -788,6 +788,15 @@ def _q_corpus_quality_tiers(spark, sf):
     )
 
 
+def _q_ann_knn_graph(spark, sf):
+    """Approximate k-NN graph over the embeddings table (k=5, LSH-bucket
+    candidates): per vector, its top-5 same-bucket neighbors by cosine —
+    the embedding-space graph substrate.  Rank is on the 4dp-rounded
+    cosine with neighbor-id tie-break, so the result set is deterministic
+    cross-engine despite float ordering."""
+    return similarity.knn_graph(graft.load(spark, sf, "embeddings"), k=5)
+
+
 def _q_diag_hot_keys(spark, sf):
     """Skew diagnostic: heaviest join-key values with row share — what sizes
     n_salts / flags AQE-skew candidates before a big join."""
@@ -1378,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_common_neighbors": _q_g8_common_neighbors,
         "w6_event_runs": _q_w6_event_runs,
         "corpus_quality_tiers": _q_corpus_quality_tiers,
+        "ann_knn_graph": _q_ann_knn_graph,
     }
 
 
@@ -1743,6 +1753,24 @@ def oracle_sql() -> dict[str, str]:
         JOIN embeddings eb ON eb.vec_id = b.vec_id
         WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                            CAST(eb.embedding AS DOUBLE[])), 4) >= 0.35"""
+    )
+    sql["ann_knn_graph"] = (
+        bucket_cte
+        + """,
+        pairs AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                   CAST(eb.embedding AS DOUBLE[])), 4) AS DOUBLE) AS cos_sim
+          FROM buckets a
+          JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT src, dst, cos_sim + 0.0 AS cos_sim FROM (
+          SELECT src, dst, cos_sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cos_sim DESC, dst ASC) AS rn
+          FROM pairs)
+        WHERE rn <= 5"""
     )
     sql["p5_property_presence"] = """
         SELECT event_id, event_type FROM events

@@ -240,6 +240,51 @@ def blocked_cosine_pairs(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame, k: int = 5, n_planes: int = N_PLANES,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_splits: int = 8,
+) -> DataFrame:
+    """Approximate k-NN graph -> (src, dst, cos_sim): per vector, its top-k
+    most-cosine-similar SAME-LSH-BUCKET neighbors — the graph substrate for
+    embedding-space dedup clusters, semantic graph walks, and kNN
+    classification over a corpus.
+
+    Approximation contract: candidates are confined to the vector's LSH
+    bucket (deterministic hyperplanes, so the bucketing — and therefore the
+    exact result set — is reproducible cross-engine).  Nodes whose bucket
+    has fewer than k+1 members return fewer than k edges; that is the
+    standard ANN-recall trade, not an error.
+
+    Scale: candidate volume is sum(|bucket|^2), never corpus^2; the pair
+    join reuses blocked_cosine_pairs' grid-split (hot buckets spread over
+    n_splits tasks) and unrolled-codegen dot products over once-projected
+    norms.  The only additional shuffle is the per-src top-k window, which
+    ranks on the 4dp-ROUNDED cosine with dst as the tie-break — fully
+    deterministic cross-engine."""
+    b = lsh_buckets(embeddings, n_planes, id_col=id_col, vec_col=vec_col)
+    blocked = embeddings.withColumnRenamed(id_col, "vec_id").join(b, "vec_id")
+    und = blocked_cosine_pairs(
+        blocked, "bucket", tau=-1.0, id_col="vec_id", vec_col=vec_col,
+        n_splits=n_splits,
+    )
+    directed = und.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
+    ).unionAll(
+        und.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        # + 0.0 canonicalizes IEEE negative zero (round(-0.00004, 4) = -0.0)
+        # so engines that format -0.0 differently can't diverge on display
+        .select("src", "dst", (F.col("cos_sim") + F.lit(0.0)).alias("cos_sim"))
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -831,3 +831,21 @@ def test_common_neighbors_hand_computed(spark):
     assert common_neighbors(star, max_degree=4).count() == 0
     # at cap >= 5 the star yields all C(5,2) spoke pairs with common=1
     assert common_neighbors(star, max_degree=5).count() == 10
+
+
+def test_knn_graph_invariants(spark):
+    """k-NN graph over the sf0.001 embeddings: per-source cap, no
+    self-edges, descending rank order, and run-to-run determinism (the
+    hyperplanes are arithmetic, not random state)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = similarity.knn_graph(e, k=5).collect()
+    per_src: dict[int, list] = {}
+    for r in g:
+        assert r["src"] != r["dst"]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        per_src.setdefault(r["src"], []).append((r["cos_sim"], r["dst"]))
+    assert max(len(v) for v in per_src.values()) <= 5
+    for v in per_src.values():  # rank order: cos desc, dst asc tie-break
+        assert v == sorted(v, key=lambda t: (-t[0], t[1]))
+    again = similarity.knn_graph(e, k=5).collect()
+    assert sorted(map(tuple, g)) == sorted(map(tuple, again))
