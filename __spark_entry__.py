@@ -1101,6 +1101,70 @@ def _q_mm_frame_sample(spark, sf):
     )
 
 
+def _reap_stale_dirs(prefix: str) -> None:
+    """Best-effort reclaim of DEAD processes' streaming work dirs: each dir
+    embeds its owning pid; a live concurrent process keeps its dirs (os.kill
+    probe — portable, no /proc dependency).  Output parquet must outlive its
+    creating call (the returned DataFrame is collected lazily), so each run
+    cleans up after earlier ones instead of itself."""
+    import glob
+    import shutil
+    import tempfile
+
+    for stale in glob.glob(f"{tempfile.gettempdir()}/{prefix}-*-p*"):
+        try:
+            owner = int(stale.rsplit("-p", 1)[1])
+        except ValueError:
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _q_stream_kg_build(spark, sf):
+    """The FULL KG pipeline fed by a real Structured Streaming drain instead
+    of a batch read: transcripts land as three parquet files (split by
+    conversation hash — bulk upstream landings), a file-source stream with
+    maxFilesPerTrigger=1 folds each epoch's extraction into the snapshot
+    staging table via MERGE-on-rec_id (exactly-once effect), and one
+    materialization pass links + canonicalizes + persists the graph tables.
+    The returned triples are read back FROM THE STORE, so the oracle (the
+    flagship canonicalization CTE) checks the whole streaming persist path
+    end-to-end: stream == batch is not just a pytest claim, it's
+    value-checked against SQL on every gate run."""
+    import tempfile
+    from types import SimpleNamespace
+
+    from plume_spark.store import GraphStore
+    from plume_spark.streaming import read_transcript_stream, stream_build
+
+    _reap_stale_dirs("plume-kgbuild-contract")
+    d = tempfile.mkdtemp(prefix="plume-kgbuild-contract-", suffix=f"-p{os.getpid()}")
+    inbox, ckpt = f"{d}/in", f"{d}/ck"
+
+    t = graft.kg_transcripts(spark, sf)
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    for i in range(3):
+        t.filter(bucket == i).write.mode("append").parquet(inbox)
+
+    store = GraphStore(spark, f"{d}/store")
+    stream_build(
+        read_transcript_stream(spark, inbox, max_files_per_trigger=1),
+        store,
+        ckpt,
+        tau=0.95,
+    )
+    result = SimpleNamespace(
+        entities=store.entities.read(), triples=store.triples.read()
+    )
+    return triples_with_names(result)
+
+
 def _q_stream_ordered_release(spark, sf):
     # The custom stateful streaming operator (applyInPandasWithState) run for
     # real: land the kg transcripts out of order (turn tails first, heads in
@@ -1388,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_event_runs": _q_w6_event_runs,
         "corpus_quality_tiers": _q_corpus_quality_tiers,
         "ann_knn_graph": _q_ann_knn_graph,
+        "stream_kg_build": _q_stream_kg_build,
     }
 
 
@@ -1910,6 +1975,9 @@ def oracle_sql() -> dict[str, str]:
                coalesce(i.in_deg, 0) AS in_deg,
                coalesce(o.n_preds, 0) AS n_preds
         FROM o FULL JOIN i ON o.name = i.name"""
+    # the streaming persist path must converge to the SAME triple set as the
+    # batch flagship — one oracle string, two execution paths
+    sql["stream_kg_build"] = sql["kg_build_triples"]
     # kg_path2's oracle is the NAIVE path self-join (the definition); the
     # engine runs the degree-product rewrite — counts must agree exactly
     _nation_norm = NORM_SQL.format(col="n_name")

@@ -786,7 +786,11 @@ def test_all_contract_plans_are_arrow_only(spark):
     their own tests)."""
     import __spark_entry__ as entrymod
 
-    skip = {"stream_ordered_release", "stream_sessionize"}  # run real streams on invocation
+    skip = {  # run real streams (side effects) on invocation
+        "stream_ordered_release",
+        "stream_sessionize",
+        "stream_kg_build",
+    }
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue
