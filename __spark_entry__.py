@@ -1173,31 +1173,12 @@ def _q_stream_ordered_release(spark, sf):
     # oracle is exact — in-order exactly-once release means the released set
     # IS the transcript set (per-turn text equality under stable ordering,
     # the north-rule invariant, now under continuous out-of-order arrival).
-    import glob
-    import shutil
     import tempfile
     import time
 
     from plume_spark.streaming import ordered_turn_release, read_transcript_stream
 
-    # best-effort reclaim of DEAD processes' work dirs (this one's output
-    # parquet must outlive the function — the caller collects the returned
-    # DataFrame lazily — so it is cleaned by a later run).  Dirs embed the
-    # owning pid; a live concurrent process keeps its dirs.
-    for stale in glob.glob(f"{tempfile.gettempdir()}/plume-stream-contract-*-p*"):
-        try:
-            owner = int(stale.rsplit("-p", 1)[1])
-        except ValueError:
-            continue
-        if owner == os.getpid():
-            continue
-        try:
-            os.kill(owner, 0)  # portable liveness probe (no /proc dependency)
-        except ProcessLookupError:
-            shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass  # e.g. EPERM: pid exists under another user — keep its dirs
-
+    _reap_stale_dirs("plume-stream-contract")
     t = graft.kg_transcripts(spark, sf)
     d = tempfile.mkdtemp(prefix="plume-stream-contract-", suffix=f"-p{os.getpid()}")
     inbox, ckpt, outdir = f"{d}/in", f"{d}/ck", f"{d}/out"
@@ -1226,28 +1207,13 @@ def _q_stream_sessionize(spark, sf):
     # event-time timeouts that flush every buffered tail.  The oracle is the
     # batch w3 window semantics (same gap rule), sentinel user excluded.
     import datetime
-    import glob
-    import shutil
     import tempfile
     import time
 
     from plume_spark.streaming.ingest import file_stream
     from plume_spark.streaming.stateful import stream_sessionize
 
-    for stale in glob.glob(f"{tempfile.gettempdir()}/plume-sess-contract-*-p*"):
-        try:
-            owner = int(stale.rsplit("-p", 1)[1])
-        except ValueError:
-            continue
-        if owner == os.getpid():
-            continue
-        try:
-            os.kill(owner, 0)
-        except ProcessLookupError:
-            shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass
-
+    _reap_stale_dirs("plume-sess-contract")
     e = graft.load(spark, sf, "events")
     lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) / 3
