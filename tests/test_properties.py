@@ -409,3 +409,64 @@ def test_mix_sample_stable_membership(spark, ids, rate):
     }
     assert lo <= kept(min(1.0, rate + 0.25))
     assert lo == kept(rate)
+
+
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=40))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_k_core_matches_bruteforce(spark, raw_edges):
+    """Distributed whole-round peeling == Python peel loop on random graphs
+    (self-loops dropped, duplicate/reversed edges canonicalized)."""
+    from plume_spark.operators.graph_metrics import k_core
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    k = 2
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for x, y in cur:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(x, y) for x, y in cur if x in keep and y in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expected: dict[int, int] = {}
+    for x, y in cur:
+        expected[x] = expected.get(x, 0) + 1
+        expected[y] = expected.get(y, 0) + 1
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["core_deg"]
+           for r in k_core(e, k=k, max_iters=30).collect()}
+    assert got == expected
+
+
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=40))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_common_neighbors_matches_bruteforce(spark, raw_edges):
+    """Wedge-join common-neighbor counts == adjacency-set intersection on
+    random graphs (uncapped: max_degree above any degree here)."""
+    from itertools import combinations
+
+    from plume_spark.operators.graph_metrics import common_neighbors
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expected = {}
+    for x, y in combinations(sorted(adj), 2):
+        if y in adj[x]:
+            continue  # adjacent pairs excluded
+        cn = len(adj[x] & adj[y])
+        if cn:
+            expected[(x, y)] = (cn, round(cn / (len(adj[x]) + len(adj[y]) - cn), 6))
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+           for r in common_neighbors(e, max_degree=10**6).collect()}
+    assert got == expected
