@@ -55,6 +55,12 @@ HEADLINE = [
     "w3_sessionize",
     "w4_sliding_rate",
     "corpus_select",
+    # round-3 late additions: one per family added this round (same
+    # regression-visibility policy); the stream_* and kg-analytics queries
+    # re-run the full flagship/persist path and are tracked via the
+    # flagship + --write benches instead of doubling suite time here
+    "g7_kcore",
+    "ann_knn_graph",
 ]
 
 

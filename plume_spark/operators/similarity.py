@@ -158,25 +158,47 @@ def brute_force_topk(
 def lsh_buckets(
     embeddings: DataFrame, n_planes: int = N_PLANES,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """(vec_id, bucket): sign bits against n_planes integer hyperplanes.
 
     Weights are a pure arithmetic function of (plane, dim) — no weight table
     to broadcast, no randomness to persist, identical across engines/runs.
-    The projection is an unrolled weighted sum (weights are Python-computed
-    literals), one codegen expression per plane.
-    """
+
+    ``strategy`` picks how the n_planes weighted sums evaluate (same
+    codegen-vs-compile trade as brute_force_topk): 'codegen' unrolls each
+    projection into a literal expression chain (the scale path — per-row
+    cost far below the HOF form, Janino compile amortized over the scan);
+    'hof' evaluates aggregate/zip_with interpreted with the weights as an
+    array literal (zero compile — right for small scans); 'auto' picks by
+    Catalyst's size estimate.  Both run the identical left-to-right float64
+    fold, so the SIGN — and therefore the bucket — is identical either way
+    (a leading +0.0 cannot flip a sign: 0.0 + x == x, and -0.0 vs +0.0
+    both satisfy >= 0)."""
     dim = infer_dim(embeddings, vec_col)
+    if strategy == "auto":
+        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
+    if strategy not in ("codegen", "hof"):
+        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
     v = F.col(vec_col)
     bucket = None
     for p in range(n_planes):
-        proj = reduce(
-            lambda acc, t: acc + t,
-            (
-                _de(v, i) * F.lit(float(((i * _W_MUL_I + (p + 1) * _W_MUL_P) % _W_MOD) - _W_OFF))
-                for i in range(1, dim + 1)
-            ),
-        )
+        weights = [
+            float(((i * _W_MUL_I + (p + 1) * _W_MUL_P) % _W_MOD) - _W_OFF)
+            for i in range(1, dim + 1)
+        ]
+        if strategy == "codegen":
+            proj = reduce(
+                lambda acc, t: acc + t,
+                (_de(v, i) * F.lit(weights[i - 1]) for i in range(1, dim + 1)),
+            )
+        else:
+            warr = F.array(*[F.lit(w) for w in weights])
+            proj = F.aggregate(
+                F.zip_with(v, warr, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
@@ -185,7 +207,7 @@ def lsh_buckets(
 def blocked_cosine_pairs(
     embeddings: DataFrame, block_col: str, tau: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_splits: int = 8,
+    n_splits: int = 8, strategy: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= tau) within blocks — IVF-style:
     the pairwise join is confined to same-block vectors, so cost is
@@ -208,11 +230,40 @@ def blocked_cosine_pairs(
     probe-side shuffle by n_splits, a linear cost against the quadratic
     work it balances; size n_splits ~ tasks-per-block wanted."""
     dim = infer_dim(embeddings, vec_col)
+    if strategy == "auto":
+        # same codegen-vs-compile trade as brute_force_topk/lsh_buckets:
+        # both forms run the identical left-to-right float64 fold
+        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
+    if strategy not in ("codegen", "hof"):
+        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
+    if strategy == "codegen":
+        nrm_of, dot_of = (
+            lambda c: norm_unrolled(c, dim),
+            lambda x, y: dot_unrolled(x, y, dim),
+        )
+    else:
+        # cast each element to double BEFORE multiplying (float32 products
+        # would round differently from the unrolled double-first kernels)
+        def nrm_of(c):
+            return F.sqrt(
+                F.aggregate(
+                    c,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+
+        def dot_of(x, y):
+            return F.aggregate(
+                F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
     with_norm = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_v"),
-        norm_unrolled(F.col(vec_col), dim).alias("_n"),
+        nrm_of(F.col(vec_col)).alias("_n"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_splits)).alias("_g"),
     )
     a = with_norm.select(
@@ -233,7 +284,7 @@ def blocked_cosine_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4
+                dot_of(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
@@ -243,7 +294,7 @@ def blocked_cosine_pairs(
 def knn_graph(
     embeddings: DataFrame, k: int = 5, n_planes: int = N_PLANES,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_splits: int = 8,
+    n_splits: int = 8, strategy: str = "auto",
 ) -> DataFrame:
     """Approximate k-NN graph -> (src, dst, cos_sim): per vector, its top-k
     most-cosine-similar SAME-LSH-BUCKET neighbors — the graph substrate for
@@ -258,23 +309,41 @@ def knn_graph(
 
     Scale: candidate volume is sum(|bucket|^2), never corpus^2; the pair
     join reuses blocked_cosine_pairs' grid-split (hot buckets spread over
-    n_splits tasks) and unrolled-codegen dot products over once-projected
+    n_splits tasks) and its codegen-vs-HOF auto choice over once-projected
     norms.  The only additional shuffle is the per-src top-k window, which
     ranks on the 4dp-ROUNDED cosine with dst as the tie-break — fully
     deterministic cross-engine."""
-    b = lsh_buckets(embeddings, n_planes, id_col=id_col, vec_col=vec_col)
+    # resolve the codegen-vs-HOF choice ONCE from the raw input: the
+    # post-join size estimate (embeddings x buckets) is inflated and would
+    # pick the compile-heavy path for scans that never earn it back
+    if strategy == "auto":
+        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
+    b = lsh_buckets(
+        embeddings, n_planes, id_col=id_col, vec_col=vec_col, strategy=strategy
+    )
     blocked = embeddings.withColumnRenamed(id_col, "vec_id").join(b, "vec_id")
     und = blocked_cosine_pairs(
         blocked, "bucket", tau=-1.0, id_col="vec_id", vec_col=vec_col,
-        n_splits=n_splits,
+        n_splits=n_splits, strategy=strategy,
     )
+    # both orientations in ONE pass over the pair join (a unionAll of two
+    # selects would execute — and codegen-compile — the join twice)
     directed = und.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
-    ).unionAll(
-        und.select(
-            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src"),
+                    F.col("vec_b").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src"),
+                    F.col("vec_a").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos_sim")
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (
         directed.withColumn("rn", F.row_number().over(w))

@@ -853,3 +853,29 @@ def test_knn_graph_invariants(spark):
         assert v == sorted(v, key=lambda t: (-t[0], t[1]))
     again = similarity.knn_graph(e, k=5).collect()
     assert sorted(map(tuple, g)) == sorted(map(tuple, again))
+
+
+def test_lsh_and_pair_strategies_bit_identical(spark):
+    """The codegen (unrolled) and HOF (interpreted) evaluation paths of the
+    LSH projection, the blocked pair join, and the k-NN graph must produce
+    IDENTICAL results — the auto switch picks by size estimate, so the
+    choice must never be observable in values.  (The gate data is small
+    enough that auto always picks HOF; this test is what keeps the scale
+    path honest.)"""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    b_c = similarity.lsh_buckets(e, strategy="codegen")
+    b_h = similarity.lsh_buckets(e, strategy="hof")
+    assert rows(b_c) == rows(b_h)
+
+    blocked = e.join(b_c.withColumnRenamed("bucket", "blk_b"), "vec_id")
+    p_c = similarity.blocked_cosine_pairs(blocked, "blk_b", tau=-1.0, strategy="codegen")
+    p_h = similarity.blocked_cosine_pairs(blocked, "blk_b", tau=-1.0, strategy="hof")
+    assert rows(p_c) == rows(p_h)
+
+    g_c = similarity.knn_graph(e, k=5, strategy="codegen")
+    g_h = similarity.knn_graph(e, k=5, strategy="hof")
+    assert rows(g_c) == rows(g_h)
