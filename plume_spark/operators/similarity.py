@@ -382,6 +382,7 @@ def quantize_embeddings(
 def ivf_topk(
     embeddings: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8,
     n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF-flat approximate top-k: centroids = the first ``n_centroids``
     vectors by id (deterministic seeding, KMeans-free); every vector is
@@ -389,11 +390,36 @@ def ivf_topk(
     nearest cells and scores only those members.
 
     The centroid table is tiny -> broadcast; assignment is one map-side pass.
+    The cosine kernel appears in THREE stages (assignment, probe selection,
+    final scoring), each a separate whole-stage-codegen compilation of the
+    unrolled form — so the codegen-vs-HOF auto choice matters 3x here (same
+    trade and same bit-identical fold as brute_force_topk/lsh_buckets).
     """
     dim = infer_dim(embeddings, vec_col)
+    if strategy == "auto":
+        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
+    if strategy == "codegen":
+        def cos(a: Column, b: Column) -> Column:
+            return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
+    elif strategy == "hof":
+        def _hnorm(c: Column) -> Column:
+            return F.sqrt(
+                F.aggregate(
+                    c,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
 
-    def cos(a: Column, b: Column) -> Column:
-        return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
+        def cos(a: Column, b: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            return dot / (_hnorm(a) * _hnorm(b))
+    else:
+        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
 
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")

@@ -879,3 +879,7 @@ def test_lsh_and_pair_strategies_bit_identical(spark):
     g_c = similarity.knn_graph(e, k=5, strategy="codegen")
     g_h = similarity.knn_graph(e, k=5, strategy="hof")
     assert rows(g_c) == rows(g_h)
+
+    i_c = similarity.ivf_topk(e, 0, 10, 8, 2, strategy="codegen")
+    i_h = similarity.ivf_topk(e, 0, 10, 8, 2, strategy="hof")
+    assert rows(i_c) == rows(i_h)
