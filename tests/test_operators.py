@@ -883,3 +883,23 @@ def test_lsh_and_pair_strategies_bit_identical(spark):
     i_c = similarity.ivf_topk(e, 0, 10, 8, 2, strategy="codegen")
     i_h = similarity.ivf_topk(e, 0, 10, 8, 2, strategy="hof")
     assert rows(i_c) == rows(i_h)
+
+
+def test_graph_and_knn_hostile_inputs(spark):
+    """k_core / common_neighbors / knn_graph on degenerate inputs: empty
+    edge sets, self-loops only, single-row embeddings — sane empties, no
+    crash."""
+    from plume_spark.operators.graph_metrics import common_neighbors, k_core
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert k_core(empty, k=2).count() == 0
+    assert common_neighbors(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2)], ["a", "b"])
+    assert k_core(loops, k=1).count() == 0  # self-loops dropped -> no edges
+    assert common_neighbors(loops).count() == 0
+    # one vector: a bucket of size 1 -> no pairs, no edges
+    one = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert similarity.knn_graph(one, k=3).count() == 0
