@@ -48,6 +48,13 @@ def test_bounded_shuffle_budgets(spark):
         "w1_turn_ordering": 1,
         "w3_sessionize": 1,     # both windows share one (user) shuffle
         "t3_ohlc_downsample": 2,  # window shuffle + reused-partitioning agg
+        # both row_number windows and both aggs cluster by (a prefix of)
+        # user_id — one exchange serves all four
+        "w6_event_runs": 1,
+        # the underlying unigram_logprob plan owns 6 exchanges (tokenize/
+        # freq/total/join/doc-agg chain); tiering must add exactly ONE more
+        # (the tier aggregate) — a pure projection cannot cost a shuffle
+        "corpus_quality_tiers": 7,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
