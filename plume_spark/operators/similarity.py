@@ -7,16 +7,21 @@
   LSH bucket): the IVF-style scale path — at 100 TB you never all-pairs, you
   bucket then verify within buckets.
 
-PAIR-JOIN arithmetic is UNROLLED into fixed-width element_at expression chains
-(whole-stage codegen) rather than F.aggregate/F.zip_with higher-order
-functions: HOFs evaluate interpreted per element with per-call allocation —
-measured ~300 us/pair on 64-dim vectors (66 s for 200k pairs at sf0.1) vs
-single-digit seconds unrolled.  The left-fold Add chain reproduces the same
-sequential float64 summation as the HOF fold and the DuckDB oracle, so values
-are bit-identical.  Norms are computed once per row BEFORE the pair join,
-never per pair.  SINGLE-PASS scans flip the trade (compiling the ~400-node
-kernel costs ~0.7 s a small scan never earns back), so brute_force_topk picks
-codegen vs HOF by Catalyst's size estimate — see CODEGEN_MIN_BYTES.
+Vector arithmetic has TWO evaluation paths and every operator here picks
+between them by Catalyst's size estimate (see CODEGEN_MIN_BYTES):
+
+* UNROLLED fixed-width element_at expression chains (whole-stage codegen) —
+  the scale path: HOFs evaluate interpreted per element with per-call
+  allocation, measured ~300 us/pair on 64-dim vectors (66 s for 200k pairs
+  at sf0.1) vs single-digit seconds unrolled.
+* F.aggregate/F.zip_with higher-order functions (interpreted, zero Janino
+  compile) — the small-scan path: compiling one ~400-node unrolled kernel
+  costs ~0.7 s that a small scan never earns back (ivf_topk compiles THREE).
+
+Both run the identical left-to-right float64 fold with elements widened to
+double before multiplying, so results are bit-identical either way (pinned
+by test_lsh_and_pair_strategies_bit_identical) and match the DuckDB oracle.
+Norms are computed once per row BEFORE the pair join, never per pair.
 """
 
 from __future__ import annotations
