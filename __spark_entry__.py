@@ -1165,6 +1165,39 @@ def _q_stream_kg_build(spark, sf):
     return triples_with_names(result)
 
 
+def _q_stream_turn_counts(spark, sf):
+    """The watermarked streaming-aggregation surface run for real: the kg
+    transcripts land as two files (split by conversation hash), a
+    file-source stream drains them one file per epoch, and the per-(hour
+    window, conversation) turn counters fold across epochs in aggregation
+    state (complete output into a memory sink — the monitoring-view shape).
+    The oracle is the equivalent batch GROUP BY over the same derivation,
+    so the cross-epoch state fold is value-checked, not just row-counted."""
+    import tempfile
+    import time
+
+    from plume_spark.streaming import read_transcript_stream, stream_turn_counts
+
+    _reap_stale_dirs("plume-wmagg-contract")
+    d = tempfile.mkdtemp(prefix="plume-wmagg-contract-", suffix=f"-p{os.getpid()}")
+    inbox = f"{d}/in"
+    t = graft.kg_transcripts(spark, sf)
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    for i in range(2):
+        t.filter(bucket == i).write.mode("append").parquet(inbox)
+    name = f"turn_counts_{os.getpid()}_{int(time.time() * 1000)}"
+    q = (
+        stream_turn_counts(read_transcript_stream(spark, inbox, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_stream_ordered_release(spark, sf):
     # The custom stateful streaming operator (applyInPandasWithState) run for
     # real: land the kg transcripts out of order (turn tails first, heads in
@@ -1419,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_tiers": _q_corpus_quality_tiers,
         "ann_knn_graph": _q_ann_knn_graph,
         "stream_kg_build": _q_stream_kg_build,
+        "stream_turn_counts": _q_stream_turn_counts,
     }
 
 
@@ -1944,6 +1978,20 @@ def oracle_sql() -> dict[str, str]:
     # the streaming persist path must converge to the SAME triple set as the
     # batch flagship — one oracle string, two execution paths
     sql["stream_kg_build"] = sql["kg_build_triples"]
+    # watermarked streaming agg == batch GROUP BY over the same derivation
+    # (complete mode: every window retained in state across epochs)
+    sql["stream_turn_counts"] = """
+        WITH t AS (
+          SELECT 'conv-' || CAST(c.c_custkey AS VARCHAR) AS conv_id,
+                 CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                         ORDER BY o.o_orderdate, o.o_orderkey) - 1 AS INT) AS turn_idx,
+                 CAST(o.o_orderdate AS TIMESTAMP) AS ts
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey)
+        SELECT date_trunc('hour', ts) AS window_start, conv_id,
+               count(*) AS n_turns, CAST(max(turn_idx) AS INT) AS max_turn_idx
+        FROM t GROUP BY 1, 2"""
     # kg_path2's oracle is the NAIVE path self-join (the definition); the
     # engine runs the degree-product rewrite — counts must agree exactly
     _nation_norm = NORM_SQL.format(col="n_name")

@@ -790,6 +790,7 @@ def test_all_contract_plans_are_arrow_only(spark):
         "stream_ordered_release",
         "stream_sessionize",
         "stream_kg_build",
+        "stream_turn_counts",
     }
     for name, fn in entrymod.queries().items():
         if name in skip:
