@@ -470,3 +470,43 @@ def test_common_neighbors_matches_bruteforce(spark, raw_edges):
     got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
            for r in common_neighbors(e, max_degree=10**6).collect()}
     assert got == expected
+
+
+_hostile_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2100),
+    max_size=60,
+)
+
+
+@given(st.lists(_hostile_text, min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_vectorized_kernel_equals_loop(texts):
+    """The vectorized batch extraction kernel emits the IDENTICAL record set
+    as the retained per-turn loop kernel on adversarial unicode text
+    (punctuation runs, control chars, empty/whitespace turns)."""
+    import pandas as pd
+
+    from plume_spark.operators.extraction import _extract_part, _extract_part_loop
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 3}" for i in range(len(texts))],
+            "turn_idx": list(range(len(texts))),
+            "text": texts,
+        }
+    )
+
+    def canon(df):
+        out = []
+        for t in df.itertuples(index=False, name=None):
+            out.append(
+                tuple(
+                    None
+                    if (v is None or v is pd.NA or (isinstance(v, float) and v != v))
+                    else (int(v) if not isinstance(v, (str, bool)) and hasattr(v, "__int__") else str(v))
+                    for v in t
+                )
+            )
+        return sorted(out)
+
+    assert canon(_extract_part(pdf.copy())) == canon(_extract_part_loop(pdf.copy()))
