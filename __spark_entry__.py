@@ -1165,6 +1165,41 @@ def _q_stream_kg_build(spark, sf):
     return triples_with_names(result)
 
 
+def _q_kg_build_incr(spark, sf):
+    """Incremental BATCH KG build under the value gate (A7/A9 as a contract
+    query, not just pytest): build the store from the first 43 of 64
+    conversation hash-buckets, then fold the full transcript set in a second
+    build_graph call — per-bucket lineage must SKIP the 43 already-committed
+    buckets (asserted loudly: the second call may extract at most the 21 new
+    ones), extraction MERGEs only the delta, and one global re-materialize
+    (canonical names are component-wide minima, so linking is re-run over
+    the compact change log, never the transcript text).  The store's final
+    triples are read back and checked against the SAME SQL oracle as the
+    batch flagship — incremental == one-shot, value-identical."""
+    import tempfile
+    from types import SimpleNamespace
+
+    from plume_spark.pipeline import build_graph
+    from plume_spark.store import GraphStore
+
+    _reap_stale_dirs("plume-incr-contract")
+    d = tempfile.mkdtemp(prefix="plume-incr-contract-", suffix=f"-p{os.getpid()}")
+    store = GraphStore(spark, f"{d}/store")
+    t = graft.kg_transcripts(spark, sf)
+    first = t.filter(F.pmod(F.xxhash64("conv_id"), F.lit(64)) < 43)
+    build_graph(first, store, n_buckets=64, tau=0.95)
+    stats = build_graph(t, store, n_buckets=64, tau=0.95)
+    if stats["pending_units"] > 21:
+        raise RuntimeError(
+            f"incremental build re-extracted {stats['pending_units']} buckets; "
+            "unchanged-input skip (A9) regressed"
+        )
+    result = SimpleNamespace(
+        entities=store.entities.read(), triples=store.triples.read()
+    )
+    return triples_with_names(result)
+
+
 def _q_stream_turn_counts(spark, sf):
     """The watermarked streaming-aggregation surface run for real: the kg
     transcripts land as two files (split by conversation hash), a
@@ -1453,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_graph": _q_ann_knn_graph,
         "stream_kg_build": _q_stream_kg_build,
         "stream_turn_counts": _q_stream_turn_counts,
+        "kg_build_incr": _q_kg_build_incr,
     }
 
 
@@ -1978,6 +2014,8 @@ def oracle_sql() -> dict[str, str]:
     # the streaming persist path must converge to the SAME triple set as the
     # batch flagship — one oracle string, two execution paths
     sql["stream_kg_build"] = sql["kg_build_triples"]
+    # incremental batch build must converge to the same triple set too
+    sql["kg_build_incr"] = sql["kg_build_triples"]
     # watermarked streaming agg == batch GROUP BY over the same derivation
     # (complete mode: every window retained in state across epochs)
     sql["stream_turn_counts"] = """

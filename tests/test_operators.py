@@ -786,11 +786,12 @@ def test_all_contract_plans_are_arrow_only(spark):
     their own tests)."""
     import __spark_entry__ as entrymod
 
-    skip = {  # run real streams (side effects) on invocation
+    skip = {  # execute real streams / store builds (side effects) on invocation
         "stream_ordered_release",
         "stream_sessionize",
         "stream_kg_build",
         "stream_turn_counts",
+        "kg_build_incr",
     }
     for name, fn in entrymod.queries().items():
         if name in skip:
