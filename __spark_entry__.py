@@ -448,6 +448,22 @@ def _kg_with_regions(spark, sf):
     return t1.unionByName(t2).distinct()
 
 
+def _q_kg_entities(spark, sf):
+    """The ENTITY side of the built KG under the value gate (triples are
+    checked by the flagship; this checks canonicalization's other output):
+    per canonical entity, its inferred kind (min non-'entity' kind hint over
+    member norms) and its alias set (sorted member norms, projected to CSV
+    for an engine-portable value hash).  The oracle re-derives the clusters
+    via the same gram-fingerprint CTE and re-applies the kind-hint rule."""
+    res = run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95)
+    return res.entities.select(
+        "canonical_name",
+        "kind",
+        F.size("aliases").cast("long").alias("n_aliases"),
+        F.array_join("aliases", ",").alias("alias_csv"),
+    )
+
+
 def _q_kg_path2(spark, sf):
     """2-hop relation composition over the built KG + located_in edges:
     how many (subj -pred1-> mid -pred2-> obj) paths exist per predicate
@@ -1489,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kg_build": _q_stream_kg_build,
         "stream_turn_counts": _q_stream_turn_counts,
         "kg_build_incr": _q_kg_build_incr,
+        "kg_entities": _q_kg_entities,
     }
 
 
@@ -2030,6 +2047,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS window_start, conv_id,
                count(*) AS n_turns, CAST(max(turn_idx) AS INT) AS max_turn_idx
         FROM t GROUP BY 1, 2"""
+    # entity-side oracle: same canonicalization CTE as the flagship, plus the
+    # kind-hint rule (min non-'entity' kind over a cluster's member norms; in
+    # this substrate subj mentions carry 'person', obj mentions 'org')
+    _subj_n = NORM_SQL.format(col="c_name")
+    _obj_n = NORM_SQL.format(col="n_name")
+    sql["kg_entities"] = f"""
+        WITH t0 AS (
+          SELECT c.c_custkey, c.c_name, n.n_name, o.o_orderkey
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey),
+        t AS (
+          SELECT {_subj_n} AS subj_norm, {_obj_n} AS obj_norm FROM t0),
+        norms AS (
+          SELECT DISTINCT subj_norm AS norm FROM t
+          UNION SELECT DISTINCT obj_norm FROM t),
+        fp AS (
+          SELECT norm, string_agg(DISTINCT g, '|' ORDER BY g) AS gramset
+          FROM (SELECT norm, substr(norm, i, 3) AS g
+                FROM norms, (SELECT unnest(range(1, (SELECT CAST(max(length(norm)) AS BIGINT) + 1 FROM norms))) AS i)
+                WHERE i <= length(norm) - 2)
+          GROUP BY norm),
+        canon AS (SELECT norm, min(norm) OVER (PARTITION BY gramset) AS cname FROM fp),
+        nk AS (
+          SELECT subj_norm AS norm, 'person' AS kind FROM t
+          UNION ALL SELECT obj_norm, 'org' FROM t),
+        nk1 AS (SELECT norm, min(kind) AS kind_hint FROM nk GROUP BY norm)
+        SELECT c.cname AS canonical_name,
+               coalesce(min(k.kind_hint), 'entity') AS kind,
+               count(DISTINCT c.norm) AS n_aliases,
+               string_agg(DISTINCT c.norm, ',' ORDER BY c.norm) AS alias_csv
+        FROM canon c LEFT JOIN nk1 k ON k.norm = c.norm
+        GROUP BY c.cname"""
     # kg_path2's oracle is the NAIVE path self-join (the definition); the
     # engine runs the degree-product rewrite — counts must agree exactly
     _nation_norm = NORM_SQL.format(col="n_name")
