@@ -157,6 +157,17 @@ _SEP = "\n\x00\n"
 
 
 def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch extraction with the vectorized kernel; any unexpected failure
+    inside it degrades the batch to the retained loop kernel (identical
+    semantics, per-turn exception tolerance) instead of failing the Arrow
+    batch — the whole-batch analog of runOnPart's per-part tolerance."""
+    try:
+        return _extract_part_vec(pdf)
+    except Exception:
+        return _extract_part_loop(pdf)
+
+
+def _extract_part_vec(pdf: pd.DataFrame) -> pd.DataFrame:
     """runOnPart analog: one part (a hash-bucket of whole conversations) in,
     its change log out.  Rows are sorted (conv_id, turn_idx) so each
     conversation is contiguous in stable turn order (W1).
@@ -182,16 +193,20 @@ def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     names = [f.name for f in _UDF_SCHEMA.fields]
     texts_raw = pdf["text"]
-    ti_num = pd.to_numeric(pdf["turn_idx"], errors="coerce")
-    ok = (
-        texts_raw.map(lambda t: isinstance(t, str) and bool(t)).to_numpy()
-        & ti_num.notna().to_numpy()
+    # non-numeric AND non-finite turn_idx rows are skipped (an unguarded
+    # int64 cast would turn inf into INT64_MIN garbage); fractional floats
+    # truncate exactly like the loop kernel's int()
+    ti_f = pd.to_numeric(pdf["turn_idx"], errors="coerce").to_numpy(
+        dtype="float64", na_value=float("nan")
     )
+    ok = texts_raw.map(
+        lambda t: isinstance(t, str) and bool(t)
+    ).to_numpy() & np.isfinite(ti_f)
     if not ok.any():
         return pd.DataFrame({n: [] for n in names})
     texts = texts_raw.to_numpy()[ok]
     convs = pdf["conv_id"].to_numpy()[ok]
-    tis = ti_num.to_numpy()[ok].astype("int64")
+    tis = ti_f[ok].astype("int64")
 
     mega = _SEP.join(texts)
     # start offset of each turn's text inside the mega-string

@@ -39,19 +39,29 @@ _W_MOD = 8191
 _W_OFF = 4095
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """HOF fallback for unknown-width arrays (not used in hot paths)."""
+# The ONE pair of interpreted (HOF) kernels every operator's small-scan path
+# shares.  Elements are widened to double BEFORE multiplying — a float32
+# product rounds differently from the unrolled double-first codegen kernels,
+# and the two paths must stay bit-identical (the auto strategy choice may
+# never be observable in values).
+def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+def _norm_hof(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _dot_hof(a, b) / (_norm_hof(a) * _norm_hof(b))
 
 
 def _as_double(c: Column) -> Column:
@@ -99,6 +109,17 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _resolve_strategy(df: DataFrame, strategy: str) -> str:
+    """The ONE codegen-vs-HOF decision all five similarity operators share:
+    'auto' resolves by Catalyst's size estimate against CODEGEN_MIN_BYTES;
+    anything but codegen/hof is rejected here so no call site can drift."""
+    if strategy == "auto":
+        return "codegen" if _plan_size_bytes(df) >= CODEGEN_MIN_BYTES else "hof"
+    if strategy not in ("codegen", "hof"):
+        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
+    return strategy
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_vec_id: int, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -131,28 +152,16 @@ def brute_force_topk(
     dim = len(qv)
     qn = math.sqrt(sum(x * x for x in qv))
     v = F.col(vec_col)
-    if strategy == "auto":
-        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
+    strategy = _resolve_strategy(embeddings, strategy)
     if strategy == "codegen":
         dot = reduce(
             lambda acc, t: acc + t,
             (_de(v, i) * F.lit(qv[i - 1]) for i in range(1, dim + 1)),
         )
         nrm = norm_unrolled(v, dim)
-    elif strategy == "hof":
-        qlit = F.array(*[F.lit(x) for x in qv])
-        dot = F.aggregate(
-            F.zip_with(v, qlit, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        nrm = F.sqrt(
-            F.aggregate(
-                v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-            )
-        )
     else:
-        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
+        dot = _dot_hof(v, F.array(*[F.lit(x) for x in qv]))
+        nrm = _norm_hof(v)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sim"),
@@ -180,11 +189,8 @@ def lsh_buckets(
     fold, so the SIGN — and therefore the bucket — is identical either way
     (a leading +0.0 cannot flip a sign: 0.0 + x == x, and -0.0 vs +0.0
     both satisfy >= 0)."""
-    dim = infer_dim(embeddings, vec_col)
-    if strategy == "auto":
-        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
-    if strategy not in ("codegen", "hof"):
-        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
+    dim = infer_dim(embeddings, vec_col)  # weights need dim on BOTH paths
+    strategy = _resolve_strategy(embeddings, strategy)
     v = F.col(vec_col)
     bucket = None
     for p in range(n_planes):
@@ -234,36 +240,15 @@ def blocked_cosine_pairs(
     vec_a < vec_b filter kills the mirror).  Replication multiplies the
     probe-side shuffle by n_splits, a linear cost against the quadratic
     work it balances; size n_splits ~ tasks-per-block wanted."""
-    dim = infer_dim(embeddings, vec_col)
-    if strategy == "auto":
-        # same codegen-vs-compile trade as brute_force_topk/lsh_buckets:
-        # both forms run the identical left-to-right float64 fold
-        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
-    if strategy not in ("codegen", "hof"):
-        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
+    strategy = _resolve_strategy(embeddings, strategy)
     if strategy == "codegen":
+        dim = infer_dim(embeddings, vec_col)  # only the unrolled form needs it
         nrm_of, dot_of = (
             lambda c: norm_unrolled(c, dim),
             lambda x, y: dot_unrolled(x, y, dim),
         )
     else:
-        # cast each element to double BEFORE multiplying (float32 products
-        # would round differently from the unrolled double-first kernels)
-        def nrm_of(c):
-            return F.sqrt(
-                F.aggregate(
-                    c,
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                )
-            )
-
-        def dot_of(x, y):
-            return F.aggregate(
-                F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
+        nrm_of, dot_of = _norm_hof, _dot_hof
     with_norm = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("_vid"),
@@ -321,8 +306,7 @@ def knn_graph(
     # resolve the codegen-vs-HOF choice ONCE from the raw input: the
     # post-join size estimate (embeddings x buckets) is inflated and would
     # pick the compile-heavy path for scans that never earn it back
-    if strategy == "auto":
-        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
+    strategy = _resolve_strategy(embeddings, strategy)
     b = lsh_buckets(
         embeddings, n_planes, id_col=id_col, vec_col=vec_col, strategy=strategy
     )
@@ -400,31 +384,14 @@ def ivf_topk(
     unrolled form — so the codegen-vs-HOF auto choice matters 3x here (same
     trade and same bit-identical fold as brute_force_topk/lsh_buckets).
     """
-    dim = infer_dim(embeddings, vec_col)
-    if strategy == "auto":
-        strategy = "codegen" if _plan_size_bytes(embeddings) >= CODEGEN_MIN_BYTES else "hof"
+    strategy = _resolve_strategy(embeddings, strategy)
     if strategy == "codegen":
-        def cos(a: Column, b: Column) -> Column:
-            return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
-    elif strategy == "hof":
-        def _hnorm(c: Column) -> Column:
-            return F.sqrt(
-                F.aggregate(
-                    c,
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                )
-            )
+        dim = infer_dim(embeddings, vec_col)  # only the unrolled form needs it
 
         def cos(a: Column, b: Column) -> Column:
-            dot = F.aggregate(
-                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            return dot / (_hnorm(a) * _hnorm(b))
+            return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
     else:
-        raise ValueError(f"strategy must be auto|codegen|hof, got {strategy!r}")
+        cos = cosine
 
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")

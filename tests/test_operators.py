@@ -905,3 +905,13 @@ def test_graph_and_knn_hostile_inputs(spark):
         "vec_id long, embedding array<float>, label int",
     )
     assert similarity.knn_graph(one, k=3).count() == 0
+
+
+def test_k_core_empties_on_final_round(spark):
+    """A peel that empties the graph exactly on round max_iters is a
+    converged (empty) core, not a convergence failure — the boundary the
+    top-of-loop guard used to miss."""
+    from plume_spark.operators.graph_metrics import k_core
+
+    e = spark.createDataFrame([(1, 2)], ["a", "b"])
+    assert k_core(e, k=2, max_iters=1).count() == 0
