@@ -55,6 +55,14 @@ def test_bounded_shuffle_budgets(spark):
         # freq/total/join/doc-agg chain); tiering must add exactly ONE more
         # (the tier aggregate) — a pure projection cannot cost a shuffle
         "corpus_quality_tiers": 7,
+        # bucket join + grid-split pair join + per-src top-k window
+        "ann_knn_graph": 5,
+        # backbone co-occurrence + degree/wedge/adjacency joins (each over
+        # the small backbone edge set, but the count must not creep)
+        "g8_common_neighbors": 15,
+        # the peel runs eagerly at build time; the returned plan is one
+        # degree aggregate over the checkpointed core edge table
+        "g7_kcore": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
