@@ -1408,7 +1408,61 @@ def _q_corpus_pack(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order matters: the driver's correctness sweep samples the
+    # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
+    # so the dict leads with the 47 queries that have never had a driver-green
+    # row (CORRECTNESS_r02/r03), followed by the already-driver-proven core —
+    # the union of r02+r03+r04 rows then covers all 97 queries.
     return {
+        # --- never driver-checked before round 4 (lead block, 47) ---------
+        "u3_except_intersect": _q_u3_except_intersect,
+        "a7_percentiles": _q_a7_percentiles,
+        "a8_rollup": _q_a8_rollup,
+        "g2_components": _q_g2_components,
+        "g3_triangles": _q_g3_triangles,
+        "g4_cooccur": _q_g4_cooccur,
+        "g6_label_prop": _q_g6_label_prop,
+        "g7_kcore": _q_g7_kcore,
+        "g8_common_neighbors": _q_g8_common_neighbors,
+        "w3_sessionize": _q_w3_sessionize,
+        "w4_sliding_rate": _q_w4_sliding_rate,
+        "w5_funnel": _q_w5_funnel,
+        "w6_event_runs": _q_w6_event_runs,
+        "diag_hot_keys": _q_diag_hot_keys,
+        "t1_asof_join": _q_t1_asof_join,
+        "t2_range_join": _q_t2_range_join,
+        "t3_ohlc_downsample": _q_t3_ohlc_downsample,
+        "t4_resample_gapfill": _q_t4_resample_gapfill,
+        "dedup_minhash_incr": _q_dedup_incr,
+        "dedup_minhash_groups": _q_dedup_groups,
+        "corpus_decon_overlap": _q_corpus_decon,
+        "corpus_boilerplate": _q_corpus_boilerplate,
+        "corpus_train_val_split": _q_corpus_split,
+        "corpus_tfidf_topk": _q_corpus_tfidf,
+        "corpus_pack_chunks": _q_corpus_pack,
+        "corpus_select": _q_corpus_select,
+        "corpus_unigram_logprob": _q_corpus_logprob,
+        "corpus_repetition": _q_corpus_repetition,
+        "corpus_mix_sample": _q_corpus_mix_sample,
+        "corpus_dupe_ngrams": _q_corpus_dupe_ngrams,
+        "corpus_quality_tiers": _q_corpus_quality_tiers,
+        "a9_pivot": _q_a9_pivot,
+        "emb_centroids": _q_emb_centroids,
+        "emb_quantize": _q_emb_quantize,
+        "f11_levenshtein": _q_f11_levenshtein,
+        "f5_json_payload": _q_f5_json_payload,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "text_quality_logreg": _q_text_quality_logreg,
+        "ann_knn_graph": _q_ann_knn_graph,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_kg_build": _q_stream_kg_build,
+        "stream_turn_counts": _q_stream_turn_counts,
+        "kg_build_incr": _q_kg_build_incr,
+        "kg_entities": _q_kg_entities,
+        "kg_entity_degrees": _q_kg_entity_degrees,
+        "kg_path2": _q_kg_path2,
+        "kg_triple_support": _q_kg_triple_support,
+        # --- driver-green in r02/r03 (trailing block, 50) ------------------
         "w1_turn_ordering": _q_w1,
         "w2_lag_context": _q_w2,
         "w1_reassemble": _q_w1_reassemble,
@@ -1459,53 +1513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ordered_release": _q_stream_ordered_release,
         "mm_frame_sample": _q_mm_frame_sample,
         "g1_pagerank": _q_g1_pagerank,
-        "u3_except_intersect": _q_u3_except_intersect,
-        "a7_percentiles": _q_a7_percentiles,
-        "a8_rollup": _q_a8_rollup,
-        "g2_components": _q_g2_components,
-        "g3_triangles": _q_g3_triangles,
-        "g4_cooccur": _q_g4_cooccur,
-        "g6_label_prop": _q_g6_label_prop,
-        "w3_sessionize": _q_w3_sessionize,
-        "diag_hot_keys": _q_diag_hot_keys,
-        "t1_asof_join": _q_t1_asof_join,
-        "t2_range_join": _q_t2_range_join,
-        "dedup_minhash_incr": _q_dedup_incr,
-        "dedup_minhash_groups": _q_dedup_groups,
-        "corpus_decon_overlap": _q_corpus_decon,
-        "corpus_boilerplate": _q_corpus_boilerplate,
-        "corpus_train_val_split": _q_corpus_split,
-        "corpus_tfidf_topk": _q_corpus_tfidf,
-        "corpus_pack_chunks": _q_corpus_pack,
-        "corpus_select": _q_corpus_select,
-        "corpus_unigram_logprob": _q_corpus_logprob,
-        "corpus_repetition": _q_corpus_repetition,
-        "a9_pivot": _q_a9_pivot,
-        "w4_sliding_rate": _q_w4_sliding_rate,
-        "emb_centroids": _q_emb_centroids,
-        "f11_levenshtein": _q_f11_levenshtein,
-        "f5_json_payload": _q_f5_json_payload,
-        "corpus_mix_sample": _q_corpus_mix_sample,
-        "corpus_dupe_ngrams": _q_corpus_dupe_ngrams,
-        "text_pii_scrub": _q_text_pii_scrub,
-        "text_quality_logreg": _q_text_quality_logreg,
-        "emb_quantize": _q_emb_quantize,
-        "w5_funnel": _q_w5_funnel,
-        "t3_ohlc_downsample": _q_t3_ohlc_downsample,
-        "stream_sessionize": _q_stream_sessionize,
-        "kg_entity_degrees": _q_kg_entity_degrees,
-        "t4_resample_gapfill": _q_t4_resample_gapfill,
-        "kg_path2": _q_kg_path2,
-        "kg_triple_support": _q_kg_triple_support,
-        "g7_kcore": _q_g7_kcore,
-        "g8_common_neighbors": _q_g8_common_neighbors,
-        "w6_event_runs": _q_w6_event_runs,
-        "corpus_quality_tiers": _q_corpus_quality_tiers,
-        "ann_knn_graph": _q_ann_knn_graph,
-        "stream_kg_build": _q_stream_kg_build,
-        "stream_turn_counts": _q_stream_turn_counts,
-        "kg_build_incr": _q_kg_build_incr,
-        "kg_entities": _q_kg_entities,
     }
 
 
@@ -1677,7 +1684,8 @@ def oracle_sql() -> dict[str, str]:
                (EXISTS(SELECT 1 FROM lineitem WHERE l_orderkey = -5)) AS missing"""
     sql["p7_roots"] = (
         _EDGES_CTE
-        + "SELECT DISTINCT subj AS node FROM edges WHERE subj NOT IN (SELECT obj FROM edges)"
+        + """SELECT DISTINCT subj AS node FROM edges e
+             WHERE NOT EXISTS (SELECT 1 FROM edges i WHERE i.obj = e.subj)"""
     )
     sql["j6_out_neighbors"] = """
         SELECT DISTINCT 1000000 + o_orderkey AS node FROM orders WHERE o_custkey < 5"""
@@ -1917,8 +1925,8 @@ def oracle_sql() -> dict[str, str]:
     sql["j8_constraint_check"] = (
         _EDGES_CTE
         + """
-        SELECT count(*) AS n_violations FROM edges
-        WHERE subj NOT IN (SELECT c_custkey FROM customer)"""
+        SELECT count(*) AS n_violations FROM edges e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.subj)"""
     )
     sql["ann_blocked_pairs"] = """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -156,14 +156,46 @@ _RUN_RE = re.compile(rf"(?:^|(?<=\s))(?:{_RUN_TOKEN})(?:\s+(?:{_RUN_TOKEN}))*")
 _SEP = "\n\x00\n"
 
 
-def _extract_part(pdf: pd.DataFrame) -> pd.DataFrame:
+# per-worker one-time warning latch: a systematic vec-kernel failure would
+# otherwise silently run every batch on the ~3x-slower loop kernel with green
+# tests and no signal (round-3 ADVICE).
+_FALLBACK_WARNED = False
+
+
+def _extract_part(
+    pdf: pd.DataFrame, on_fallback=None, _poison: bool = False
+) -> pd.DataFrame:
     """Batch extraction with the vectorized kernel; any unexpected failure
     inside it degrades the batch to the retained loop kernel (identical
     semantics, per-turn exception tolerance) instead of failing the Arrow
-    batch — the whole-batch analog of runOnPart's per-part tolerance."""
+    batch — the whole-batch analog of runOnPart's per-part tolerance.
+
+    The degradation is OBSERVABLE, not silent: the first fallback on each
+    worker prints one stderr warning with the causing exception, and
+    ``on_fallback`` (an Accumulator.add bound by extract_changelog) counts
+    fallen-back batches so build_graph can surface the perf cliff in its
+    stats.  ``_poison`` is a test-only hook that forces the failure path
+    (closure-serialized, so it reaches real executors — monkeypatching the
+    driver module does not)."""
+    global _FALLBACK_WARNED
     try:
+        if _poison:
+            raise RuntimeError("test-poisoned vectorized kernel")
         return _extract_part_vec(pdf)
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — deliberate batch tolerance
+        if not _FALLBACK_WARNED:
+            _FALLBACK_WARNED = True
+            import sys
+            import traceback
+
+            print(
+                "plume_spark WARNING: vectorized extraction kernel failed; "
+                f"batch degraded to the loop kernel (~3x slower): {exc!r}\n"
+                + "".join(traceback.format_exception(exc)[-3:]),
+                file=sys.stderr,
+            )
+        if on_fallback is not None:
+            on_fallback(1)
         return _extract_part_loop(pdf)
 
 
@@ -407,16 +439,16 @@ def split_valid_rejects(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     return transcripts.filter(~bad), transcripts.filter(bad)
 
 
-def _extract_batches(batches):
+def _extract_batches(batches, on_fallback=None, _poison: bool = False):
     """mapInPandas adapter: the same per-part extraction kernel applied to
     each incoming Arrow batch in place (no shuffle — see extract_changelog)."""
     for pdf in batches:
-        out = _extract_part(pdf)
+        out = _extract_part(pdf, on_fallback=on_fallback, _poison=_poison)
         if len(out):
             yield out
 
 
-def _extract_batches_compact(batches):
+def _extract_batches_compact(batches, on_fallback=None, _poison: bool = False):
     """mapInPandas adapter with per-batch mention pre-aggregation: mention
     records collapse to the batch's DISTINCT (norm, kind) pairs (a map-side
     partial of the global per-norm reduction build_entities performs), triple
@@ -430,7 +462,7 @@ def _extract_batches_compact(batches):
     scale; the mention-stream scan was measured memory-bandwidth-bound, i.e.
     the one cost MORE cores cannot buy down)."""
     for pdf in batches:
-        out = _extract_part(pdf)
+        out = _extract_part(pdf, on_fallback=on_fallback, _poison=_poison)
         if not len(out):
             continue
         is_m = out["rec_kind"] == "mention"
@@ -451,6 +483,8 @@ def extract_changelog(
     n_parts: int | None = None,
     colocate: bool = False,
     compact_mentions: bool = False,
+    fallback_acc=None,
+    _poison: bool = False,
 ) -> DataFrame:
     """Parallel extraction pass: valid rows -> change-log DataFrame.
 
@@ -482,16 +516,24 @@ def extract_changelog(
     the distinct-norm dictionary; occurrence-level fields are nulled.  Use
     for linking-only pipelines; the store/staging path keeps full records."""
     valid, _ = split_valid_rejects(transcripts)
+    # fallback counting: Accumulator.add is closure-serialized into the UDF,
+    # so counts flow back from real executors with task results; read
+    # fallback_acc.value after an action to observe the perf cliff.
+    on_fb = fallback_acc.add if fallback_acc is not None else None
     if colocate:
         p = n_parts or 256
         extracted = (
             valid.select("conv_id", "turn_idx", "text")
             .withColumn("_part", F.pmod(F.xxhash64("conv_id"), F.lit(p)).cast("int"))
             .groupBy("_part")
-            .applyInPandas(lambda pdf: _extract_part(pdf), schema=_UDF_SCHEMA)
+            .applyInPandas(
+                lambda pdf: _extract_part(pdf, on_fallback=on_fb, _poison=_poison),
+                schema=_UDF_SCHEMA,
+            )
         )
     else:
-        fn = _extract_batches_compact if compact_mentions else _extract_batches
+        base = _extract_batches_compact if compact_mentions else _extract_batches
+        fn = lambda batches: base(batches, on_fallback=on_fb, _poison=_poison)  # noqa: E731
         extracted = valid.select("conv_id", "turn_idx", "text").mapInPandas(
             fn, schema=_UDF_SCHEMA
         )

@@ -147,20 +147,28 @@ def build_graph(
     pend_rows = pending.collect()  # bounded by n_buckets — driver-safe
     if max_units is not None:
         pend_rows = sorted(pend_rows, key=lambda r: r["partition_id"])[:max_units]
-    stats = {"pending_units": len(pend_rows)}
+    stats = {"pending_units": len(pend_rows), "vec_fallback_batches": 0}
 
     if pend_rows:
         buckets = [r["partition_id"] for r in pend_rows]
         sub = tb.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
+        # observable perf cliff (round-3 VERDICT #2): every batch the
+        # vectorized kernel fails on (and the loop kernel silently absorbs)
+        # is counted; >0 on clean input means a vec-kernel regression is
+        # eating ~3x throughput in production.
+        fb_acc = transcripts.sparkSession.sparkContext.accumulator(0)
         # checkpoint: the pruned MERGE consumes cl twice (bucket probe +
         # anti-join/write); without it the pandas-UDF extraction would run
         # per consumer.  Change-log records are compact — orders of
         # magnitude below the transcript text this stage just avoided
         # re-reading.
-        cl = _with_rec_id(extract_changelog(sub)).localCheckpoint(eager=True)
+        cl = _with_rec_id(
+            extract_changelog(sub, fallback_acc=fb_acc)
+        ).localCheckpoint(eager=True)
         staging.merge_insert(cl, ["rec_id"], prune=True)
         done = transcripts.sparkSession.createDataFrame(pend_rows)
         commit_lineage(store.lineage, "extract", done, rows_out=staging.row_count())
+        stats["vec_fallback_batches"] = fb_acc.value
 
     # ---- stage 2: global materialize (atomic overwrite) ----
     stats.update(materialize_graph(store, tau))

@@ -395,6 +395,29 @@ def test_driver_link_kernel_equals_distributed(spark):
     assert fast == slow
 
 
+def test_vec_kernel_fallback_is_counted_and_correct(spark):
+    """A poisoned vectorized kernel must (a) degrade every batch to the loop
+    kernel with IDENTICAL output and (b) fire the fallback accumulator — the
+    perf cliff is observable, never silent (round-3 VERDICT #2 / ADVICE).
+    On clean input the counter must stay at exactly 0."""
+    from plume_spark.generator import generate_transcripts
+    from plume_spark.operators.extraction import extract_changelog
+
+    t = generate_transcripts(spark, 30, seed=7)
+    sc = spark.sparkContext
+
+    clean_acc = sc.accumulator(0)
+    clean = extract_changelog(t, fallback_acc=clean_acc)
+    clean_rows = {tuple(r) for r in clean.collect()}
+    assert clean_acc.value == 0, "vec kernel fell back on clean input"
+
+    poison_acc = sc.accumulator(0)
+    poisoned = extract_changelog(t, fallback_acc=poison_acc, _poison=True)
+    poisoned_rows = {tuple(r) for r in poisoned.collect()}
+    assert poison_acc.value > 0, "poisoned kernel did not fire the counter"
+    assert poisoned_rows == clean_rows  # loop kernel ≡ vec kernel output
+
+
 def test_salted_join_and_salted_cc(spark):
     """salted_join must be row-equivalent to a plain join (hot key included),
     and the salted distributed CC loop must match the unsalted one."""

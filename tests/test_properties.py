@@ -483,10 +483,19 @@ _hostile_text = st.text(
 def test_vectorized_kernel_equals_loop(texts):
     """The vectorized batch extraction kernel emits the IDENTICAL record set
     as the retained per-turn loop kernel on adversarial unicode text
-    (punctuation runs, control chars, empty/whitespace turns)."""
+    (punctuation runs, control chars, empty/whitespace turns).
+
+    Calls ``_extract_part_vec`` DIRECTLY (round-3 ADVICE): going through
+    ``_extract_part`` would let its fallback swallow a vec-kernel crash and
+    vacuously compare the loop kernel with itself; here a crash or
+    divergence in the vectorized path fails loudly.  The fallback behavior
+    itself is pinned separately in test_operators.py."""
     import pandas as pd
 
-    from plume_spark.operators.extraction import _extract_part, _extract_part_loop
+    from plume_spark.operators.extraction import (
+        _extract_part_loop,
+        _extract_part_vec,
+    )
 
     pdf = pd.DataFrame(
         {
@@ -509,4 +518,4 @@ def test_vectorized_kernel_equals_loop(texts):
             )
         return sorted(out)
 
-    assert canon(_extract_part(pdf.copy())) == canon(_extract_part_loop(pdf.copy()))
+    assert canon(_extract_part_vec(pdf.copy())) == canon(_extract_part_loop(pdf.copy()))
