@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sample run as
-Arrow-batched pandas UDFs over ``mapInPandas``.  The decode step itself is
-STUBBED (image/audio libs are not in this container): ``decode_stub``
-produces deterministic fake features, and ``decode_real`` raises
-NotImplementedError with the intended contract — the Spark-side plumbing
-(schema, batch shape, partition sizing) is real and tested.
+Arrow-batched pandas UDFs over ``mapInPandas``.  ``decode_real`` is REAL for
+netpbm images (pure-Python P5/P6) and PCM wav (stdlib ``wave``) in every
+environment, and for compressed images behind the optional pillow gate;
+video and compressed audio raise NotImplementedError with the swap-in
+contract (pyav/libsndfile are not in this container), with ``decode_stub``
+as the deterministic fake for oracle-checked plumbing tests.
 
 Scale notes: binary payloads dominate row size, so
 * metadata-only stages must NOT read the payload — keep payload in its own
@@ -61,20 +62,62 @@ except ImportError:
     HAVE_PIL = False
 
 
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Pure-Python decoder for binary netpbm images (P5 grayscale / P6 RGB):
+    grayscale pixel grid in [0, 1].  No dependency, so the REAL image branch
+    of decode_real is exercised in every environment — pillow extends
+    coverage to compressed formats (PNG/JPEG) when present.  RGB collapses
+    with pillow's integer ITU-R 601-2 luma ((299R + 587G + 114B) // 1000),
+    so P6 decoded here is bit-identical to pillow's convert("L")."""
+    magic = payload[:2]
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:  # width, height, maxval; '#' comments allowed
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    ch = 1 if magic == b"P5" else 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    if ch == 1:
+        gray = raster.reshape(h, w).astype(np.float64)
+    else:
+        rgb = raster.reshape(h, w, 3).astype(np.uint32)
+        gray = (
+            (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+        ).astype(np.float64)
+    return gray / float(maxval)
+
+
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
     """The real decode contract: payload -> pixel array / PCM samples.
 
-    * image/* — pillow (optional import): grayscale pixel grid in [0, 1].
+    * image/* netpbm (P5/P6) — pure-Python ``_decode_pnm``: no dependency,
+      REAL and tested in every environment;
+    * other image/* — pillow (optional import): grayscale pixel grid in
+      [0, 1], same luma as the netpbm path;
     * audio/wav — stdlib ``wave``: PCM samples in [-1, 1] (no external dep,
       so this path is REAL and tested in every environment).
     * anything else (video containers, compressed audio) needs pyav /
       libsndfile — NotImplementedError with the swap-in contract.
     """
     if mime.startswith("image/"):
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pnm(payload)
         if not HAVE_PIL:
             raise NotImplementedError(
-                "image decode requires pillow (pip install pillow); decode_stub "
-                "is the fallback with the same (payload, mime) -> ndarray shape"
+                "compressed-image decode requires pillow (pip install pillow); "
+                "netpbm P5/P6 decodes without it, and decode_stub is the "
+                "fallback with the same (payload, mime) -> ndarray shape"
             )
         import io
 

@@ -108,6 +108,16 @@ class SnapshotTable:
         self.layout = layout
         os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        # the bucket modulus is TABLE state, not constructor state: a process
+        # reopening a table that ``rebucket`` grew must probe with the modulus
+        # the data was written under, or bucket pruning silently reads the
+        # wrong files.  The current manifest is authoritative.
+        if layout and layout.bucket_by:
+            persisted = self._manifest(self._current_version()).get("n_buckets")
+            if persisted and persisted != layout.n_buckets:
+                from dataclasses import replace
+
+                self.layout = replace(layout, n_buckets=persisted)
 
     # ------------------------------------------------------------- manifests
 
@@ -143,6 +153,8 @@ class SnapshotTable:
             "row_count": row_count,
             "committed_at": time.time(),
         }
+        if self.layout and self.layout.bucket_by:
+            manifest["n_buckets"] = self.layout.n_buckets
         mpath = os.path.join(self.path, "_snapshots", f"v{version}.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f)
@@ -377,6 +389,27 @@ class SnapshotTable:
             df = df.coalesce(n)
         files, cnt = self._write_files(df)
         return self._commit(files, cnt, "compact")
+
+    def rebucket(self, n_buckets: int) -> int | None:
+        """Rewrite the table under a new (larger) bucket modulus — the
+        Iceberg ``REPLACE PARTITION FIELD bucket(N, key)`` + rewrite analog.
+
+        A fixed modulus makes per-bucket size grow linearly with the table,
+        so every bucket-pruned probe widens as an index ages (the round-3
+        dedup-epoch probe's 60x drift).  Growing the modulus on a doubling
+        schedule keeps rows-per-bucket bounded; the rewrite is O(table) but
+        amortized O(1) per ingested row.  The new modulus is committed in the
+        manifest, so later processes reopening the table probe with the
+        modulus the data was actually written under."""
+        from dataclasses import replace
+
+        lay = self.layout
+        if not (lay and lay.bucket_by) or n_buckets == lay.n_buckets:
+            return None
+        df = self.read()
+        self.layout = replace(lay, n_buckets=n_buckets)
+        files, cnt = self._write_files(df)
+        return self._commit(files, cnt, "rebucket")
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots`` analog: retain only the most recent

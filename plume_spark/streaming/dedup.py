@@ -149,11 +149,42 @@ class DedupIndex:
             spark, f"{path}/pairs", schema=self.PAIRS, layout=lay("doc_a", ("doc_a", "doc_b"))
         )
 
+    # mean rows per file-bucket above which a table's modulus doubles: with a
+    # FIXED modulus every bucket-pruned probe widens linearly as the index
+    # grows (the round-3 probe's 60x drift); growth keeps probe cost tracking
+    # the BATCH at any index size, and the O(table) rewrite is amortized O(1)
+    # per ingested row by the doubling schedule
+    TARGET_ROWS_PER_BUCKET = 500_000
+
     def tables(self) -> tuple[SnapshotTable, ...]:
         return (self.sigs, self.toks, self.bands, self.gsets, self.docs, self.pairs)
 
     def has_index(self) -> bool:
         return self.sigs.row_count() > 0
+
+    def grow_buckets(self, target_rows_per_bucket: int | None = None) -> dict:
+        """Maintenance: grow any table whose mean bucket size exceeds the
+        target to the smallest power-of-two modulus that fits.  The check is
+        O(1) per table (manifest row counts); a table that doesn't need
+        growth is untouched.  Returns {table: (old_n, new_n)} for the grown
+        ones.  Run from the post-drain maintenance slot (with compact), never
+        inside the per-epoch fold."""
+        import os as _os
+
+        target = target_rows_per_bucket or self.TARGET_ROWS_PER_BUCKET
+        grown: dict[str, tuple[int, int]] = {}
+        for t in self.tables():
+            lay = t.layout
+            if not (lay and lay.bucket_by):
+                continue
+            rows, n = t.row_count(), lay.n_buckets
+            want = n
+            while rows > want * target:
+                want *= 2
+            if want > n:
+                t.rebucket(want)
+                grown[_os.path.basename(t.path)] = (n, want)
+        return grown
 
 
 def fold_batch(index: DedupIndex, batch_df: DataFrame, tau: float = JACCARD_TAU) -> None:
@@ -268,8 +299,11 @@ def stream_dedup(
     progress["pairs_total"] = index.pairs.row_count()
     progress["pairs_new"] = progress["pairs_total"] - pairs_before
     # epoch MERGEs append small filesets; bin-pack them so scan cost tracks
-    # data volume, not epoch count (same policy as ingest.stream_build)
+    # data volume, not epoch count (same policy as ingest.stream_build).
+    # grow_buckets first: a grown table is rewritten one-file-per-bucket, so
+    # compact is a no-op on it
     if progress["epochs"]:
+        progress["buckets_grown"] = index.grow_buckets()
         for t in index.tables():
             t.compact(min_files=1)
     return progress

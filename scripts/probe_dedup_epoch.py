@@ -57,7 +57,7 @@ def main() -> None:
     btoks = btoks.localCheckpoint(eager=True)
 
     reps_list = tuple(
-        int(x) for x in os.environ.get("SPARK_GRAFT_PROBE_REPS", "1,5,20").split(",")
+        int(x) for x in os.environ.get("SPARK_GRAFT_PROBE_REPS", "1,5,20,60").split(",")
     )
     points = []
     for reps in reps_list:
@@ -66,9 +66,19 @@ def main() -> None:
             idx = DedupIndex(spark, path)
             for r in range(reps):
                 fold_batch(idx, salted(r))
+                # the stream_dedup maintenance slot: modulus growth keeps
+                # rows-per-bucket bounded as the index ages, so the timed
+                # probe below measures the steady-state layout a production
+                # drain would be running against
+                idx.grow_buckets()
             for t in idx.tables():
                 t.compact(min_files=1)
             index_docs = idx.docs.row_count()
+            n_buckets = {
+                "toks": idx.toks.layout.n_buckets,
+                "bands": idx.bands.layout.n_buckets,
+                "gsets": idx.gsets.layout.n_buckets,
+            }
 
             # stateless path: re-bands the whole index's signatures per call
             t0 = time.time()
@@ -89,6 +99,7 @@ def main() -> None:
                     "fold_batch_sec": fold_sec,
                     "stateless_sec": stateless_sec,
                     "batch_pairs": stateless_pairs,
+                    "n_buckets": n_buckets,
                 }
             )
             print(f"# {reps}x: {points[-1]}", file=sys.stderr)

@@ -241,35 +241,69 @@ def test_multimodal_real_wav_decode(spark):
     assert rows[0]["feature"] == expect
 
 
-def test_multimodal_real_image_decode(spark):
-    """Pillow-gated: the image path of decode_real on a real PNG."""
-    from plume_spark.operators.multimodal import HAVE_PIL
-
-    if not HAVE_PIL:
-        pytest.skip("pillow not installed — image real-decode path inactive")
-    import io
-
+def _pnm_bytes(arr, rgb: bool = False) -> bytes:
+    """Minimal binary netpbm encoder (P5 gray / P6 RGB) for fixtures."""
     import numpy as np
-    from PIL import Image
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    magic = b"P6" if rgb else b"P5"
+    return magic + f"\n# fixture\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def test_multimodal_real_image_decode(spark):
+    """The REAL image branch of decode_real, exercised without pillow: the
+    pure-Python netpbm (P5/P6) decoder must recover the exact pixel grid,
+    collapse RGB with pillow's integer luma, and ride the full
+    extract_features mapInPandas path.  When pillow IS present, its decode
+    of the same P5 payload must agree bit-for-bit."""
+    import numpy as np
 
     from plume_spark.operators.multimodal import (
         FEATURE_DIM,
+        HAVE_PIL,
         MEDIA,
         extract_features,
+        featurize,
         real_decoder,
     )
 
-    img = Image.fromarray((np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 255)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
-    grid = decode_real(payload, "image/png")
-    assert grid.shape == (8, 8) and 0.0 <= grid.min() and grid.max() <= 1.0
+    gray = (np.arange(48, dtype=np.uint8).reshape(6, 8) * 5) % 255
+    p5 = _pnm_bytes(gray)
+    grid = decode_real(p5, "image/x-portable-graymap")
+    assert grid.shape == (6, 8)
+    assert np.array_equal(grid, gray.astype(np.float64) / 255.0)
+
+    rgb = np.stack([gray, 255 - gray, gray // 2], axis=-1)
+    p6 = _pnm_bytes(rgb, rgb=True)
+    grid6 = decode_real(p6, "image/x-portable-pixmap")
+    luma = (
+        rgb[..., 0].astype(np.uint32) * 299
+        + rgb[..., 1].astype(np.uint32) * 587
+        + rgb[..., 2].astype(np.uint32) * 114
+    ) // 1000
+    assert np.array_equal(grid6, luma.astype(np.float64) / 255.0)
+
+    if HAVE_PIL:  # parity with pillow on the identical payload
+        import io
+
+        from PIL import Image
+
+        pil = np.asarray(Image.open(io.BytesIO(p6)).convert("L"), dtype=np.float64)
+        assert np.array_equal(grid6, pil / 255.0)
+
     media = spark.createDataFrame(
-        [(1, "image", "image/png", payload, 8, 8, None)], schema=MEDIA
+        [
+            (1, "image", "image/x-portable-graymap", p5, 8, 6, None),
+            (2, "image", "image/x-portable-pixmap", p6, 8, 6, None),
+        ],
+        schema=MEDIA,
     )
-    rows = extract_features(media, decoder=real_decoder).collect()
-    assert len(rows) == 1 and len(rows[0]["feature"]) == FEATURE_DIM
+    rows = {r["media_id"]: r for r in extract_features(media, decoder=real_decoder).collect()}
+    assert len(rows) == 2
+    assert rows[1]["feature"] == [float(x) for x in featurize(grid)]
+    assert rows[2]["feature"] == [float(x) for x in featurize(grid6)]
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows.values())
 
 
 def test_traversal_tiny_graph(spark):

@@ -229,6 +229,42 @@ def test_bucket_and_minmax_pruning(spark, store):
     assert not store.edge_exists(3, 4, "uses")
 
 
+def test_rebucket_grows_modulus_and_stays_exact(spark, tmp_path):
+    """rebucket() contract: rows identical afterward, pruned point/probe
+    reads stay exact under the grown modulus, and a NEW table handle opened
+    with the stale default modulus adopts the persisted one (probing with
+    the write-time modulus is what keeps bucket pruning correct)."""
+    from pyspark.sql import types as T
+
+    from plume_spark.store.catalog import SnapshotTable, TableLayout
+
+    schema = T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.LongType())])
+    lay = TableLayout(bucket_by="k", n_buckets=4, sort_by=("k",), stats_cols=("k",))
+    t = SnapshotTable(spark, str(tmp_path / "grow"), schema=schema, layout=lay)
+    df = spark.range(500).selectExpr("id AS k", "id * 2 AS v")
+    t.append(df)
+    before = {tuple(r) for r in t.read().collect()}
+
+    assert t.rebucket(16) is not None
+    assert t.layout.n_buckets == 16
+    assert {tuple(r) for r in t.read().collect()} == before
+    # pruned point read under the new modulus: fewer files, same rows
+    assert len(t.files_for(point={"k": 17})) < len(t.files_for())
+    assert t.read(point={"k": 17}).filter("k = 17").count() == 1
+    # a MERGE after growth stays exact and pruned
+    t.merge_insert(
+        spark.range(490, 510).selectExpr("id AS k", "id * 2 AS v"), ["k"], prune=True
+    )
+    assert t.row_count() == 510
+
+    # reopening with the constructor default must adopt the persisted modulus
+    t2 = SnapshotTable(spark, str(tmp_path / "grow"), schema=schema, layout=lay)
+    assert t2.layout.n_buckets == 16
+    assert t2.read(point={"k": 505}).filter("k = 505").count() == 1
+    # growing is one-way here: same modulus is a no-op
+    assert t2.rebucket(16) is None
+
+
 def test_merge_upsert_and_delete_where(spark, store):
     ents, _ = _fixture_frames(spark)
     t = store.entities
