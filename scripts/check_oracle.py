@@ -96,13 +96,109 @@ def run_check(spark, sf: str, only: set[str] | None = None, out=sys.stdout) -> l
     return failures
 
 
+def _compare(name, df, con, sql, t0, out) -> list:
+    spark_rows = [tuple(r) for r in df.collect()]
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    ok_cols = sorted(df.columns) == sorted(duck_cols)
+    ok_n = len(spark_rows) == len(duck_rows)
+    ok_vals = ok_cols and ok_n and rows_key(spark_rows, df.columns) == rows_key(duck_rows, duck_cols)
+    status = "OK   " if (ok_cols and ok_n and ok_vals) else "FAIL "
+    print(
+        f"{status} {name}: spark={len(spark_rows)} duck={len(duck_rows)} "
+        f"cols={'ok' if ok_cols else (df.columns, duck_cols)} "
+        f"vals={'ok' if ok_vals else 'MISMATCH'} [{time.time()-t0:.1f}s]",
+        file=out,
+    )
+    return [] if (ok_cols and ok_n and ok_vals) else [(name, "mismatch")]
+
+
+def run_scaled_check(spark, sf: str, k: int = 8, out=sys.stdout) -> list:
+    """Scale-tier value check (round-3 VERDICT #8): the correctness gate tops
+    out at sf0.1, while the scaling bench runs k-replicated inputs — this
+    mode value-checks the flagship and one iterative graph op at the SAME
+    k-replicated tier (k x sf rows through the full pipeline vs a replicated
+    DuckDB oracle).
+
+    Replication invariants that make the oracles exact:
+    * flagship — replicas share surface forms, so the distinct-norm
+      dictionary, entity linking, and canonicalization are unchanged; the
+      scaled triple set is the base set cross-joined with replica ids and
+      conv_id suffixed '-rN' (exactly kg_transcripts_scaled's construction);
+    * g2 components — each replica's nodes are offset by r*OFFSET into a
+      disjoint id namespace, so labels (min node id per component) offset
+      with them.
+    """
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from plume_spark import graft
+    from plume_spark.operators.components import connected_components
+    from plume_spark.pipeline import run_pipeline, triples_with_names
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oq = entrymod.oracle_sql()
+    failures = []
+
+    t0 = time.time()
+    flag = triples_with_names(
+        run_pipeline(graft.kg_transcripts_scaled(spark, sf, k), tau=0.95)
+    )
+    flag_sql = f"""
+        SELECT b.* REPLACE (b.conv_id || '-r' || g.r AS conv_id)
+        FROM ({oq["kg_build_triples"]}) b
+        CROSS JOIN (SELECT UNNEST(range({k})) AS r) g"""
+    failures += _compare(f"kg_build_triples@k={k}", flag, con, flag_sql, t0, out)
+
+    t0 = time.time()
+    off = 10_000_000
+    o = graft.load(spark, sf, "orders")
+    li = graft.load(spark, sf, "lineitem")
+    e1 = o.select(
+        F.col("o_custkey").alias("subj"),
+        (F.lit(graft.NODE_ORDER_OFFSET) + F.col("o_orderkey")).alias("obj"),
+    )
+    e2 = li.select(
+        (F.lit(graft.NODE_ORDER_OFFSET) + F.col("l_orderkey")).alias("subj"),
+        (F.lit(graft.NODE_PART_OFFSET) + F.col("l_partkey")).alias("obj"),
+    ).filter(F.col("obj") % 23 == 0)
+    reps = spark.range(k).select((F.col("id") * off).alias("_off"))
+    edges = (
+        e1.unionByName(e2)
+        .crossJoin(reps)
+        .select(
+            (F.col("subj") + F.col("_off")).alias("subj"),
+            (F.col("obj") + F.col("_off")).alias("obj"),
+        )
+    )
+    comp = connected_components(
+        edges, src="subj", dst="obj", driver_max_edges=0, max_iters=32
+    )
+    comp_sql = f"""
+        SELECT b.node + g.r * {off} AS node,
+               b.component + g.r * {off} AS component
+        FROM ({oq["g2_components"]}) b
+        CROSS JOIN (SELECT UNNEST(range({k})) AS r) g"""
+    failures += _compare(f"g2_components@k={k}", comp, con, comp_sql, t0, out)
+    return failures
+
+
 def main():
     from plume_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scaled = next((a for a in sys.argv[1:] if a.startswith("--scaled")), None)
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="oracle-check")
-    failures = run_check(spark, sf, only or None)
+    if scaled is not None:
+        k = int(scaled.split("=", 1)[1]) if "=" in scaled else 8
+        failures = run_scaled_check(spark, sf, k=k)
+    else:
+        failures = run_check(spark, sf, only or None)
     print(f"\n{len(failures)} failures: {[f[0] for f in failures]}")
     sys.exit(1 if failures else 0)
 
