@@ -98,16 +98,63 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     return gray / float(maxval)
 
 
+def _decode_y4m(payload: bytes) -> np.ndarray:
+    """Pure-Python decoder for uncompressed YUV4MPEG2 video: (n_frames, h, w)
+    luma grid in [0, 1].  y4m is the standard raw-video interchange format
+    (mjpegtools/ffmpeg `-f yuv4mpegpipe`): one global header line
+    ``YUV4MPEG2 W<w> H<h> F<num:den> [C<fmt>]``, then per frame a ``FRAME``
+    line followed by raw planes.  Only the luma plane is kept (features are
+    grayscale everywhere in this module); chroma bytes are skipped by the
+    per-colorspace frame stride.  Compressed codecs still raise — the
+    swap-in is pyav with the same (payload) -> (n, h, w) shape."""
+    header_end = payload.index(b"\n")
+    header = payload[:header_end].decode("ascii")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cspace = "420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C":
+            cspace = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    luma = w * h
+    chroma = {
+        "420": luma // 2, "420jpeg": luma // 2, "420mpeg2": luma // 2,
+        "420paldv": luma // 2, "422": luma, "444": luma * 2, "mono": 0,
+    }
+    extra = chroma.get(cspace.split("p")[0] if cspace.startswith("420p") else cspace)
+    if extra is None:
+        raise NotImplementedError(f"y4m colorspace {cspace!r} not supported")
+    frames = []
+    pos = header_end + 1
+    while pos < len(payload):
+        nl = payload.index(b"\n", pos)  # FRAME [params]
+        if not payload[pos:nl].startswith(b"FRAME"):
+            raise ValueError("y4m frame marker missing")
+        pos = nl + 1
+        frames.append(np.frombuffer(payload, dtype=np.uint8, count=luma, offset=pos))
+        pos += luma + extra
+    return np.stack(frames).reshape(len(frames), h, w).astype(np.float64) / 255.0
+
+
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """The real decode contract: payload -> pixel array / PCM samples.
+    """The real decode contract: payload -> pixel array / PCM samples /
+    frame stack.
 
     * image/* netpbm (P5/P6) — pure-Python ``_decode_pnm``: no dependency,
       REAL and tested in every environment;
     * other image/* — pillow (optional import): grayscale pixel grid in
       [0, 1], same luma as the netpbm path;
     * audio/wav — stdlib ``wave``: PCM samples in [-1, 1] (no external dep,
-      so this path is REAL and tested in every environment).
-    * anything else (video containers, compressed audio) needs pyav /
+      so this path is REAL and tested in every environment);
+    * video/* YUV4MPEG2 — pure-Python ``_decode_y4m``: (n_frames, h, w)
+      luma stack, REAL in every environment.
+    * anything else (compressed video/audio codecs) needs pyav /
       libsndfile — NotImplementedError with the swap-in contract.
     """
     if mime.startswith("image/"):
@@ -137,10 +184,12 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
         if width == 1:  # 8-bit wav is unsigned
             return (samples - 128.0) / 128.0
         return samples / float(2 ** (8 * width - 1))
+    if mime.startswith("video/") and payload[:9] == b"YUV4MPEG2":
+        return _decode_y4m(payload)
     raise NotImplementedError(
-        f"no decoder for mime {mime!r}: video/compressed audio require pyav / "
-        "libsndfile — swap in a decoder with the same (payload, mime) -> "
-        "ndarray signature"
+        f"no decoder for mime {mime!r}: compressed video/audio codecs require "
+        "pyav / libsndfile — swap in a decoder with the same (payload, mime) "
+        "-> ndarray signature"
     )
 
 
@@ -198,6 +247,47 @@ def extract_features(media: DataFrame, decoder=decode_stub) -> DataFrame:
 
     return media.select("media_id", "modality", "mime", "payload").mapInPandas(
         run, schema=FEATURES
+    )
+
+
+FRAME_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL per-frame features for raw (YUV4MPEG2) video payloads: decode
+    the luma stack with ``_decode_y4m``, keep every ``every_n``-th frame,
+    featurize each to a FEATURE_DIM vector — the video analog of
+    extract_features, fan-out included (one input row -> one row per
+    sampled frame).  Arrow batches in/out; non-video rows are dropped by
+    the plan's filter, and payloads never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, totals, feats = [], [], [], []
+            for media_id, payload, mime in zip(b["media_id"], b["payload"], b["mime"]):
+                if payload is None:
+                    continue
+                stack = decode_real(bytes(payload), mime)
+                for i in range(0, len(stack), every_n):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    totals.append(len(stack))
+                    feats.append([float(x) for x in featurize(stack[i])])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_frames": totals, "feature": feats}
+            )
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", "mime", "payload")
+        .mapInPandas(run, schema=FRAME_FEATURES)
     )
 
 

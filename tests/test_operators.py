@@ -306,6 +306,65 @@ def test_multimodal_real_image_decode(spark):
     assert all(len(r["feature"]) == FEATURE_DIM for r in rows.values())
 
 
+def _y4m_bytes(frames, cspace: str = "C420") -> bytes:
+    """Minimal YUV4MPEG2 encoder for fixtures: luma from ``frames``
+    ((n, h, w) uint8), constant-128 chroma planes sized per colorspace."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w = a.shape
+    chroma = {"C420": (w * h) // 2, "C444": w * h * 2, "Cmono": 0}[cspace]
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {cspace}\n".encode()]
+    for f in a:
+        out.append(b"FRAME\n" + f.tobytes() + bytes([128]) * chroma)
+    return b"".join(out)
+
+
+def test_multimodal_real_video_decode(spark):
+    """The REAL video branch: pure-Python YUV4MPEG2 decode recovers the
+    exact luma stack (chroma skipped per colorspace), and
+    extract_frame_features fans each payload out to per-sampled-frame
+    feature rows through mapInPandas.  Compressed codecs still raise."""
+    import numpy as np
+
+    from plume_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA,
+        extract_frame_features,
+        featurize,
+    )
+
+    frames = np.stack(
+        [(np.arange(24, dtype=np.uint8).reshape(4, 6) * 9 + k * 31) % 255 for k in range(5)]
+    )
+    for cspace in ("C420", "C444", "Cmono"):
+        payload = _y4m_bytes(frames, cspace)
+        stack = decode_real(payload, "video/x-yuv4mpeg")
+        assert stack.shape == (5, 4, 6)
+        assert np.array_equal(stack, frames.astype(np.float64) / 255.0)
+
+    payload = _y4m_bytes(frames)
+    media = spark.createDataFrame(
+        [
+            (7, "video", "video/x-yuv4mpeg", payload, 6, 4, 200),
+            (8, "image", "image/png", b"not-video", 1, 1, None),
+        ],
+        schema=MEDIA,
+    )
+    rows = sorted(
+        extract_frame_features(media, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert all(r["media_id"] == 7 and r["n_frames"] == 5 for r in rows)
+    stack = decode_real(payload, "video/x-yuv4mpeg")
+    for r in rows:
+        assert r["feature"] == [float(x) for x in featurize(stack[r["frame_idx"]])]
+        assert len(r["feature"]) == FEATURE_DIM
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00\x00\x01\xba mpeg-ps", "video/mp4")
+
+
 def test_traversal_tiny_graph(spark):
     edges = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (9, 9)], ["subj", "obj"]
