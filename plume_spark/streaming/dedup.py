@@ -22,19 +22,28 @@ no-op; it is NOT an update mechanism.
 
 Exactly-once without a transactional sink, same recipe as ingest.py:
 * the file source's checkpoint gives at-least-once epoch replay;
-* every sink lands via MERGE on natural keys (pairs on (doc_a, doc_b),
+* a write-ahead INTENT MARKER brackets each fold: it lands (atomic
+  os.replace) before the first table write and clears after the registry
+  write.  No marker on entry = the previous fold completed = every
+  incoming key is provably absent (fresh docs only reach the sinks), so
+  the sinks take plain appends — O(batch), no index scan.  A marker on
+  entry = the previous fold crashed mid-write = exactly that one replayed
+  epoch takes MERGE-on-natural-keys anti-joins (pairs on (doc_a, doc_b),
   signatures on (doc_id, h), tokens on (doc_id, tok_id), bands on
-  (doc_id, band, sig_hash), gsets on (doc_id, gset_hash), the doc
-  registry on doc_id), so a replayed epoch is a no-op;
-* the registry write comes LAST: a crash mid-fold leaves the doc
-  unregistered, the replay re-derives it, and the anti-joins against
-  ``fresh`` on the index side make the recompute bit-identical.
+  (doc_id, band, sig_hash), gsets on (doc_id, gset_hash)) and lands
+  idempotently;
+* the registry write comes LAST and is always a pruned MERGE: a crash
+  mid-fold leaves the doc unregistered, the replay re-derives it, and the
+  anti-joins against ``fresh`` on the index side make the recompute
+  bit-identical.
 
 Per-epoch cost is O(batch + matched file-buckets), NEVER O(index):
 candidate generation probes the persisted band/gset tables through
-bucket-pruned reads instead of re-banding the corpus's signatures, the
+bucket-pruned reads instead of re-banding the corpus's signatures (and
+``grow_buckets`` keeps bucket width bounded as the index ages), the
 disjointness check is one pruned anti-join against the compact doc
-registry, and verify fetches token sets for candidate participants only.
+registry, the sink writes are appends except on the one-epoch crash-replay
+path, and verify fetches token sets for candidate participants only.
 All of it is pure DataFrame plans; the foreachBatch closure iterates no
 rows and touches no session-global state (no clearCache — the epoch's
 localCheckpoints are freed by the ContextCleaner when unreferenced).
@@ -127,6 +136,7 @@ class DedupIndex:
     )
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
+        self.path = path
         # every table is bucketed on ITS probe key — doc-keyed tables by
         # doc_id, the band table by sig_hash, gset fingerprints by gset_hash —
         # so each per-epoch probe/MERGE opens only the file-buckets the
@@ -161,6 +171,43 @@ class DedupIndex:
 
     def has_index(self) -> bool:
         return self.sigs.row_count() > 0
+
+    # ----------------------------------------------- epoch intent marker
+    # Write-ahead flag bracketing each fold.  Present on entry <=> the
+    # previous fold crashed between its first table write and its registry
+    # commit, so ONLY that replayed epoch pays exact anti-join MERGEs; every
+    # clean epoch appends (its keys are provably absent — sinks only ever
+    # receive rows derived from unregistered docs).  Single writer per
+    # index, same assumption as the snapshot store.
+
+    @property
+    def intent_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_epoch_intent")
+
+    def epoch_dirty(self) -> bool:
+        import os
+
+        return os.path.exists(self.intent_path)
+
+    def mark_epoch_intent(self) -> None:
+        import os
+        import time
+        import uuid
+
+        tmp = f"{self.intent_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(time.time()))
+        os.replace(tmp, self.intent_path)
+
+    def clear_epoch_intent(self) -> None:
+        import os
+
+        try:
+            os.remove(self.intent_path)
+        except FileNotFoundError:
+            pass
 
     def grow_buckets(self, target_rows_per_bucket: int | None = None) -> dict:
         """Maintenance: grow any table whose mean bucket size exceeds the
@@ -205,7 +252,15 @@ def fold_batch(index: DedupIndex, batch_df: DataFrame, tau: float = JACCARD_TAU)
     ).select("doc_id")
     fresh = new_ids.join(registered, "doc_id", "left_anti").localCheckpoint(eager=True)
     if fresh.first() is None:
+        # fully registered batch: nothing to write.  The marker, if any, is
+        # deliberately NOT cleared here — under availableNow replay the
+        # fully-folded EARLIER batches redeliver before the crashed one, and
+        # clearing on their behalf would hand the crashed epoch the append
+        # path (duplicates).  A stale marker only costs ONE later epoch the
+        # exact-MERGE path, which is always correct.
         return
+    dirty = index.epoch_dirty()
+    index.mark_epoch_intent()
     nsigs, ntoks = minhash_state(batch_df.join(fresh, "doc_id", "left_semi"))
     # each consumed by candidate gen AND the index fold: materialize once
     nsigs = nsigs.localCheckpoint(eager=True)
@@ -245,22 +300,34 @@ def fold_batch(index: DedupIndex, batch_df: DataFrame, tau: float = JACCARD_TAU)
     ).join(stored_part, "doc_id", "left_semi")
     toks = ntoks.unionByName(idx_toks).withColumnRenamed("tok_id", "tok")
     new_pairs = jaccard_verify(cand, toks, tau=tau).localCheckpoint(eager=True)
-    # pairs first, registration last; every MERGE anti-joins within the
-    # incoming keys' file-buckets only (prune=True), so a replayed epoch
-    # is a keyed no-op at O(batch) cost
-    index.pairs.merge_insert(
-        new_pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
-        keys=["doc_a", "doc_b"],
-        prune=True,
+    rounded = new_pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
-    index.sigs.merge_insert(nsigs, keys=["doc_id", "h"], prune=True)
-    index.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"], prune=True)
-    # band/gset rows are deterministic per doc content, so a replayed row
-    # always lands in its original bucket — including the hash column in
-    # the MERGE key keeps the pruned anti-join exact
-    index.bands.merge_insert(nbands, keys=["doc_id", "band", "sig_hash"], prune=True)
-    index.gsets.merge_insert(ngsets, keys=["doc_id", "gset_hash"], prune=True)
+    # pairs first, registration last.  Clean epoch (no marker on entry):
+    # every sink row derives from `fresh` docs, so its key cannot exist in
+    # the index — plain appends, no index scan (a 1k-doc batch hashes into
+    # EVERY bucket, so a pruned anti-join here would still read the whole
+    # table; that scan was the residual O(index) term in the round-3 epoch
+    # probe).  Crash-replay epoch (marker on entry): the previous fold may
+    # have landed any subset of these rows — exact MERGE anti-joins within
+    # the incoming keys' file-buckets make the replay a keyed no-op.
+    if dirty:
+        index.pairs.merge_insert(rounded, keys=["doc_a", "doc_b"], prune=True)
+        index.sigs.merge_insert(nsigs, keys=["doc_id", "h"], prune=True)
+        index.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"], prune=True)
+        # band/gset rows are deterministic per doc content, so a replayed
+        # row always lands in its original bucket — including the hash
+        # column in the MERGE key keeps the pruned anti-join exact
+        index.bands.merge_insert(nbands, keys=["doc_id", "band", "sig_hash"], prune=True)
+        index.gsets.merge_insert(ngsets, keys=["doc_id", "gset_hash"], prune=True)
+    else:
+        index.pairs.append(rounded.dropDuplicates(["doc_a", "doc_b"]))
+        index.sigs.append(nsigs.dropDuplicates(["doc_id", "h"]))
+        index.toks.append(ntoks.dropDuplicates(["doc_id", "tok_id"]))
+        index.bands.append(nbands.dropDuplicates(["doc_id", "band", "sig_hash"]))
+        index.gsets.append(ngsets.dropDuplicates(["doc_id", "gset_hash"]))
     index.docs.merge_insert(fresh, keys=["doc_id"], prune=True)
+    index.clear_epoch_intent()
 
 
 def stream_dedup(

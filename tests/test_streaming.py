@@ -328,11 +328,14 @@ def test_stream_dedup_crash_replay_partial_fold(spark, tmp_path):
     expected = sorted(map(tuple, clean.pairs.read().collect()))
 
     # crashed run: batch1 folds normally; batch2's fold is simulated as
-    # interrupted — all derived/raw tables merged, docs + pairs NOT
+    # interrupted — intent marker written (as the real fold does before its
+    # first table write), all derived/raw tables merged, docs + pairs NOT
     inbox, ckpt = str(tmp_path / "in-crash"), str(tmp_path / "ck1")
     _land(b1, inbox)
     idx = DedupIndex(spark, str(tmp_path / "idx-crash"))
     stream_dedup(read_document_stream(spark, inbox, max_files_per_trigger=1), idx, ckpt)
+    assert not idx.epoch_dirty()  # clean folds always clear their marker
+    idx.mark_epoch_intent()
     nsigs, ntoks = dedup.minhash_state(b2)
     idx.sigs.merge_insert(nsigs, keys=["doc_id", "h"], prune=True)
     idx.toks.merge_insert(ntoks, keys=["doc_id", "tok_id"], prune=True)
@@ -344,6 +347,25 @@ def test_stream_dedup_crash_replay_partial_fold(spark, tmp_path):
     _land(b2, inbox)
     stream_dedup(read_document_stream(spark, inbox, max_files_per_trigger=1), idx, str(tmp_path / "ck2"))
     assert sorted(map(tuple, idx.pairs.read().collect())) == expected and expected
+    for t in idx.tables():
+        assert t.read().count() == t.read().distinct().count()
+    assert not idx.epoch_dirty()  # the replayed epoch completed and cleared it
+
+    # other crash window: registry written but marker removal lost — the
+    # replay of a fully-registered batch changes nothing and must NOT clear
+    # the marker (an earlier batch's replay would otherwise clear it on the
+    # crashed epoch's behalf); the next real fold takes the exact-MERGE
+    # path once, stays duplicate-free, and clears it
+    from plume_spark.streaming import fold_batch
+
+    before = {t.path: t.row_count() for t in idx.tables()}
+    idx.mark_epoch_intent()
+    fold_batch(idx, b2)
+    assert idx.epoch_dirty()
+    assert {t.path: t.row_count() for t in idx.tables()} == before
+    b3 = b2.selectExpr("doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars")
+    fold_batch(idx, b3)  # dirty path: exact MERGEs, then the marker clears
+    assert not idx.epoch_dirty()
     for t in idx.tables():
         assert t.read().count() == t.read().distinct().count()
 
