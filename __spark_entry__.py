@@ -538,6 +538,83 @@ def _q_kg_triple_support(spark, sf):
     )
 
 
+def _q_kg_pred_cardinality(spark, sf):
+    """Predicate cardinality profiling over the built KG — the
+    schema-inference read that decides whether a predicate is functional
+    (N:1), inverse-functional (1:N), or M:N before rule mining / conflict
+    detection.  Two partial-agg groupBys over the distinct edge set joined
+    on pred (2 rows out) — never a per-pair window."""
+    _, named = _kg_flagship(spark, sf)
+    d = named.select("pred", "subj_name", "obj_name").distinct()
+    per_subj = d.groupBy("pred", "subj_name").agg(F.count(F.lit(1)).alias("o"))
+    per_obj = d.groupBy("pred", "obj_name").agg(F.count(F.lit(1)).alias("s"))
+    base = d.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("subj_name").alias("n_subj"),
+        F.countDistinct("obj_name").alias("n_obj"),
+    )
+    mo = per_subj.groupBy("pred").agg(F.max("o").alias("max_obj_per_subj"))
+    ms = per_obj.groupBy("pred").agg(F.max("s").alias("max_subj_per_obj"))
+    return (
+        base.join(mo, "pred")
+        .join(ms, "pred")
+        .select(
+            "pred",
+            "n_pairs",
+            "n_subj",
+            "n_obj",
+            "max_obj_per_subj",
+            "max_subj_per_obj",
+            (F.col("max_obj_per_subj") == 1).alias("functional"),
+        )
+    )
+
+
+def _q_kg_entity_cooccur(spark, sf):
+    """Canonical-entity co-mention graph: entity pairs appearing in the same
+    conversation, weighted by distinct conversations — the edge generator
+    for entity-graph analytics (g1/g2/g6 consume exactly this shape).
+    The within-conversation self-join's fan-out is bounded by per-conv
+    entity count (itself bounded by turns per conversation), never by
+    corpus size — the same hub-safety argument as g4_cooccur."""
+    _, named = _kg_flagship(spark, sf)
+    m = (
+        named.select("conv_id", F.col("subj_name").alias("name"))
+        .unionByName(named.select("conv_id", F.col("obj_name").alias("name")))
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .groupBy(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+    )
+
+
+def _q_w7_retention_cohorts(spark, sf):
+    """Weekly cohort retention over events: cohort = the user's first-seen
+    week, each (cohort_week, week_offset) cell counts distinct users still
+    active that many weeks later — the canonical growth-analytics triangle.
+    One groupBy for first-seen, one distinct activity projection, one
+    partial-agg count — all shuffles on the keys they aggregate by."""
+    e = graft.load(spark, sf, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def _q_t4_resample_gapfill(spark, sf):
     """Hourly resample with forward fill: a per-user time spine (every hour
     from the user's first to last event) left-joined to the hourly
@@ -1446,6 +1523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row (CORRECTNESS_r02/r03), followed by the already-driver-proven core —
     # the union of r02+r03+r04 rows then covers all 97 queries.
     return {
+        # --- new in round 4 (never driver-checked) -------------------------
+        "kg_pred_cardinality": _q_kg_pred_cardinality,
+        "kg_entity_cooccur": _q_kg_entity_cooccur,
+        "w7_retention_cohorts": _q_w7_retention_cohorts,
         # --- never driver-checked before round 4 (lead block, 47) ---------
         "u3_except_intersect": _q_u3_except_intersect,
         "a7_percentiles": _q_a7_percentiles,
@@ -2140,6 +2221,42 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT conv_id) AS n_convs,
                CAST(min(turn_idx) AS INT) AS first_turn
         FROM kg GROUP BY subj_name, pred, obj_name"""
+    sql["kg_pred_cardinality"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        d AS (SELECT DISTINCT pred, subj_name, obj_name FROM kg),
+        base AS (SELECT pred, count(*) AS n_pairs,
+                        count(DISTINCT subj_name) AS n_subj,
+                        count(DISTINCT obj_name) AS n_obj
+                 FROM d GROUP BY pred),
+        mo AS (SELECT pred, max(o) AS max_obj_per_subj
+               FROM (SELECT pred, subj_name, count(*) AS o
+                     FROM d GROUP BY pred, subj_name) GROUP BY pred),
+        ms AS (SELECT pred, max(s) AS max_subj_per_obj
+               FROM (SELECT pred, obj_name, count(*) AS s
+                     FROM d GROUP BY pred, obj_name) GROUP BY pred)
+        SELECT base.pred, n_pairs, n_subj, n_obj,
+               max_obj_per_subj, max_subj_per_obj,
+               max_obj_per_subj = 1 AS functional
+        FROM base JOIN mo ON base.pred = mo.pred
+                  JOIN ms ON base.pred = ms.pred"""
+    sql["kg_entity_cooccur"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        m AS (SELECT DISTINCT conv_id, subj_name AS name FROM kg
+              UNION SELECT DISTINCT conv_id, obj_name FROM kg)
+        SELECT a.name AS name_a, b.name AS name_b, count(*) AS n_convs
+        FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.name < b.name
+        GROUP BY a.name, b.name"""
+    sql["w7_retention_cohorts"] = """
+        WITH f AS (SELECT user_id,
+                          CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+                   FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events)
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN f ON a.user_id = f.user_id
+        GROUP BY f.cohort_week, week_offset"""
     sql["w6_event_runs"] = """
         WITH runs AS (
           SELECT user_id, event_type, count(*) AS run_len
