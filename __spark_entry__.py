@@ -546,27 +546,28 @@ def _q_kg_pred_cardinality(spark, sf):
     on pred (2 rows out) — never a per-pair window."""
     _, named = _kg_flagship(spark, sf)
     d = named.select("pred", "subj_name", "obj_name").distinct()
+    # every subject-side statistic folds out of ONE per-(pred, subj) partial
+    # (n_pairs = sum of per-subject distinct objs; n_subj = row count;
+    # max = max) — no countDistinct expands, no second pass over d
     per_subj = d.groupBy("pred", "subj_name").agg(F.count(F.lit(1)).alias("o"))
     per_obj = d.groupBy("pred", "obj_name").agg(F.count(F.lit(1)).alias("s"))
-    base = d.groupBy("pred").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("subj_name").alias("n_subj"),
-        F.countDistinct("obj_name").alias("n_obj"),
+    subj_stats = per_subj.groupBy("pred").agg(
+        F.sum("o").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_subj"),
+        F.max("o").alias("max_obj_per_subj"),
     )
-    mo = per_subj.groupBy("pred").agg(F.max("o").alias("max_obj_per_subj"))
-    ms = per_obj.groupBy("pred").agg(F.max("s").alias("max_subj_per_obj"))
-    return (
-        base.join(mo, "pred")
-        .join(ms, "pred")
-        .select(
-            "pred",
-            "n_pairs",
-            "n_subj",
-            "n_obj",
-            "max_obj_per_subj",
-            "max_subj_per_obj",
-            (F.col("max_obj_per_subj") == 1).alias("functional"),
-        )
+    obj_stats = per_obj.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_obj"),
+        F.max("s").alias("max_subj_per_obj"),
+    )
+    return subj_stats.join(obj_stats, "pred").select(
+        "pred",
+        "n_pairs",
+        "n_subj",
+        "n_obj",
+        "max_obj_per_subj",
+        "max_subj_per_obj",
+        (F.col("max_obj_per_subj") == 1).alias("functional"),
     )
 
 

@@ -63,6 +63,14 @@ def test_bounded_shuffle_budgets(spark):
         # the peel runs eagerly at build time; the returned plan is one
         # degree aggregate over the checkpointed core edge table
         "g7_kcore": 1,
+        # round-4 additions (all over the memoized flagship checkpoint or
+        # the events scan): distinct + two per-key partials + two 2-row
+        # final aggs (broadcast-joined) for cardinality; union-distinct +
+        # conv self-join + pair agg for cooccur; first-seen agg + activity
+        # distinct + join + cell agg for retention
+        "kg_pred_cardinality": 6,  # (+1: the 2-row stats join plans sort-merge under AQE)
+        "kg_entity_cooccur": 5,
+        "w7_retention_cohorts": 5,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
