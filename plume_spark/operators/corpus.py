@@ -361,3 +361,34 @@ def repetition_score(
         n_grams.cast("long").alias("n_ngrams"),  # match SQL len() (BIGINT)
         rep.alias("rep_frac"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame, n: int = 8, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY in corpus order: the fraction of a doc's
+    distinct word n-grams whose first occurrence (min doc_id) is this doc —
+    the freshness/diversity signal data-mixing passes rank sources by (a
+    near-copy of earlier material scores ~0, genuinely new text ~1).  The
+    complement of dupe_ngram_rate's symmetric duplication view: novelty is
+    ORDER-aware, so re-ingesting a corpus twice shows the second pass at 0.
+
+    (doc_id, n_ngrams, n_novel, novelty_frac).  Same scale shape as
+    dupe_ngram_rate: one per-gram partial aggregate (min doc over the gram
+    hash) joined back on the hash — never a self-join, never a window over
+    the corpus."""
+    sh = shingles(df, n, text, id_col).select(
+        "doc_id", F.xxhash64("tok").alias("g")
+    )
+    sh = sh.localCheckpoint(eager=True)  # gram first-seen + per-doc aggregate
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("_first"))
+    novel = F.sum(F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty_frac"),
+        )
+    )

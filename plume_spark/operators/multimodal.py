@@ -2,12 +2,13 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sample run as
-Arrow-batched pandas UDFs over ``mapInPandas``.  ``decode_real`` is REAL for
-netpbm images (pure-Python P5/P6) and PCM wav (stdlib ``wave``) in every
-environment, and for compressed images behind the optional pillow gate;
-video and compressed audio raise NotImplementedError with the swap-in
-contract (pyav/libsndfile are not in this container), with ``decode_stub``
-as the deterministic fake for oracle-checked plumbing tests.
+Arrow-batched pandas UDFs over ``mapInPandas``.  ``decode_real`` is REAL in
+every environment for netpbm images (pure-Python P5/P6), 8-bit PNG
+(pure-Python over stdlib zlib — a genuinely compressed codec), PCM wav
+(stdlib ``wave``), and YUV4MPEG2 video; JPEG/WebP ride the optional pillow
+gate, and compressed audio/video codecs raise NotImplementedError with the
+swap-in contract (pyav/libsndfile are not in this container), with
+``decode_stub`` as the deterministic fake for oracle-checked plumbing tests.
 
 Scale notes: binary payloads dominate row size, so
 * metadata-only stages must NOT read the payload — keep payload in its own
@@ -98,6 +99,100 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     return gray / float(maxval)
 
 
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decoder (stdlib ``zlib`` only): 8-bit non-interlaced
+    grayscale / RGB / RGBA / gray+alpha / palette images -> grayscale pixel
+    grid in [0, 1].  PNG is a genuinely COMPRESSED format (DEFLATE stream +
+    per-scanline predictive filters), so with this the real image branch of
+    :func:`decode_real` covers a compressed codec in every environment — no
+    pillow needed.  All five reconstruction filters (None/Sub/Up/Average/
+    Paeth, PNG spec §9) are implemented; 16-bit depth and Adam7 interlacing
+    raise loudly (pillow remains the swap-in for those).  RGB collapses with
+    the module's integer ITU-R 601-2 luma, matching the netpbm path."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos = 8
+    idat = bytearray()
+    plte = None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    bpp = channels  # bytes per pixel at depth 8
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    at = 0
+    for _y in range(h):
+        ftype = raw[at]
+        cur = bytearray(raw[at + 1 : at + 1 + stride])
+        at += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prev = bytes(cur)
+        rows.append(prev)
+    px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, channels)
+    if ctype == 3:  # palette indices -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        px = plte[px[..., 0]]
+        channels = 3
+    if channels <= 2:  # grayscale (alpha, if any, dropped — features are luma)
+        gray = px[..., 0].astype(np.float64)
+    else:
+        rgb = px[..., :3].astype(np.uint32)
+        gray = (
+            (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+        ).astype(np.float64)
+    return gray / 255.0
+
+
 def _decode_y4m(payload: bytes) -> np.ndarray:
     """Pure-Python decoder for uncompressed YUV4MPEG2 video: (n_frames, h, w)
     luma grid in [0, 1].  y4m is the standard raw-video interchange format
@@ -148,8 +243,11 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
 
     * image/* netpbm (P5/P6) — pure-Python ``_decode_pnm``: no dependency,
       REAL and tested in every environment;
-    * other image/* — pillow (optional import): grayscale pixel grid in
-      [0, 1], same luma as the netpbm path;
+    * image/png (8-bit, non-interlaced) — pure-Python ``_decode_png`` over
+      stdlib zlib: a genuinely COMPRESSED codec decoded for real with no
+      dependency, all five scanline filters;
+    * other image/* (JPEG/WebP/16-bit or interlaced PNG) — pillow (optional
+      import): grayscale pixel grid in [0, 1], same luma as the netpbm path;
     * audio/wav — stdlib ``wave``: PCM samples in [-1, 1] (no external dep,
       so this path is REAL and tested in every environment);
     * video/* YUV4MPEG2 — pure-Python ``_decode_y4m``: (n_frames, h, w)
@@ -160,11 +258,14 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
     if mime.startswith("image/"):
         if payload[:2] in (b"P5", b"P6"):
             return _decode_pnm(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
         if not HAVE_PIL:
             raise NotImplementedError(
-                "compressed-image decode requires pillow (pip install pillow); "
-                "netpbm P5/P6 decodes without it, and decode_stub is the "
-                "fallback with the same (payload, mime) -> ndarray shape"
+                "JPEG/WebP decode requires pillow (pip install pillow); "
+                "netpbm P5/P6 and 8-bit PNG decode without it, and "
+                "decode_stub is the fallback with the same "
+                "(payload, mime) -> ndarray shape"
             )
         import io
 

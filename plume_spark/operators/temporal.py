@@ -19,6 +19,16 @@ row" — buckets time into epochs of the window width: each right row lands in
 one bucket, each left row probes the (bounded, ~2-3) buckets its window can
 overlap, equi-join on (key, bucket), then exact-filter.  Candidate volume is
 |right| * O(1) instead of |left| * |right| per key.
+
+Interval overlap join — "all pairs of intervals that overlap in time" — the
+same bucketing idea applied symmetrically: every interval explodes to the
+time buckets it touches, pairs equi-join on bucket, the exact overlap
+predicate filters, and each surviving pair is COUNTED ONCE by pinning it to
+the bucket of its later start (both intervals of an overlapping pair cover
+max(start_a, start_b), so both exploded into that bucket — the standard
+dedup rule for grid-blocked spatial joins).  Candidate volume is
+sum-per-bucket |a||b| instead of |intervals|^2; the bucket span is the skew
+knob (residual hot buckets are AQE skew-join territory).
 """
 
 from __future__ import annotations
@@ -140,4 +150,58 @@ def range_join_count(
     return (
         left.join(counts, left.columns, "left")
         .withColumn(count_col, F.coalesce(count_col, F.lit(0)))
+    )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_cols: tuple[str, ...],
+    start: str = "s_start",
+    end: str = "s_end",
+    span_s: int = 3600,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """All pairs of overlapping intervals (inclusive endpoints), each pair
+    once with struct(id_cols) ascending, plus ``overlap_us`` (microseconds of
+    overlap, exact int64 — engine-portable where float seconds are not).
+
+    Scale form (module docstring): explode each interval over the time
+    buckets it covers, self-equi-join on bucket, exact-filter the overlap
+    predicate, and keep a pair only in the bucket of its later start so no
+    pair is emitted twice.  Work is sum-per-bucket |a|x|b| — linear in
+    bucketed interval length for dispersed data; ``span_s`` trades explode
+    fan-out (small spans) against per-bucket candidate volume (large spans).
+    """
+    span = max(int(span_s), 1)
+    base = intervals.select(*id_cols, start, end).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start).cast("timestamp").cast("double") / span).cast("long"),
+                F.floor(F.col(end).cast("timestamp").cast("double") / span).cast("long"),
+            )
+        ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sa, ea = F.col(f"a.{start}"), F.col(f"a.{end}")
+    sb, eb = F.col(f"b.{start}"), F.col(f"b.{end}")
+    ida = F.struct(*[F.col(f"a.{c}") for c in id_cols])
+    idb = F.struct(*[F.col(f"b.{c}") for c in id_cols])
+    later_start = F.greatest(sa, sb)
+    return (
+        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
+        .filter(ida < idb)
+        .filter((sa <= eb) & (sb <= ea))
+        .filter(
+            F.col("a._bucket")
+            == F.floor(later_start.cast("timestamp").cast("double") / span).cast("long")
+        )
+        .select(
+            *[F.col(f"a.{c}").alias(f"{c}{suffixes[0]}") for c in id_cols],
+            *[F.col(f"b.{c}").alias(f"{c}{suffixes[1]}") for c in id_cols],
+            (
+                F.unix_micros(F.least(ea, eb).cast("timestamp"))
+                - F.unix_micros(later_start.cast("timestamp"))
+            ).alias("overlap_us"),
+        )
     )

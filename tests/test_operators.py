@@ -306,6 +306,128 @@ def test_multimodal_real_image_decode(spark):
     assert all(len(r["feature"]) == FEATURE_DIM for r in rows.values())
 
 
+def _png_bytes(arr, ctype: int, filters=None, plte=None, interlace: int = 0) -> bytes:
+    """Minimal PNG encoder for fixtures: 8-bit, one explicit filter type per
+    scanline so every reconstruction filter (None/Sub/Up/Average/Paeth) in
+    the decoder is exercised against an independently-built stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w, ch = a.shape
+    stride, bpp = w * ch, ch
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    def paeth(pa_, pb_, pc_):
+        p = pa_ + pb_ - pc_
+        da, db, dc = abs(p - pa_), abs(p - pb_), abs(p - pc_)
+        return pa_ if da <= db and da <= dc else (pb_ if db <= dc else pc_)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    filters = filters if filters is not None else [0] * h
+    for y in range(h):
+        line = a[y].tobytes()
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1, 4: paeth(left, up, ul)}[f]
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+    body = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace))
+    if plte is not None:
+        body += chunk(b"PLTE", np.asarray(plte, dtype=np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_multimodal_real_png_decode(spark):
+    """The COMPRESSED image branch without pillow: the pure-Python PNG
+    decoder (stdlib zlib) must invert all five scanline filters exactly,
+    handle gray/RGB/RGBA/palette color types, agree with pillow when it is
+    present, and ride the full extract_features mapInPandas path."""
+    import numpy as np
+
+    from plume_spark.operators.multimodal import (
+        FEATURE_DIM,
+        HAVE_PIL,
+        MEDIA,
+        extract_features,
+        featurize,
+        real_decoder,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    all_filters = [0, 1, 2, 3, 4, 2]
+    png_gray = _png_bytes(gray, ctype=0, filters=all_filters)
+    grid = decode_real(png_gray, "image/png")
+    assert np.array_equal(grid, gray.astype(np.float64) / 255.0)
+
+    rgb = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    luma = (
+        rgb[..., 0].astype(np.uint32) * 299
+        + rgb[..., 1].astype(np.uint32) * 587
+        + rgb[..., 2].astype(np.uint32) * 114
+    ) // 1000
+    png_rgb = _png_bytes(rgb, ctype=2, filters=all_filters)
+    assert np.array_equal(decode_real(png_rgb, "image/png"), luma / 255.0)
+
+    rgba = np.concatenate([rgb, rng.integers(0, 256, (6, 8, 1), dtype=np.uint8)], axis=-1)
+    png_rgba = _png_bytes(rgba, ctype=6, filters=all_filters)
+    assert np.array_equal(decode_real(png_rgba, "image/png"), luma / 255.0)
+
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 8), dtype=np.uint8)
+    png_pal = _png_bytes(idx, ctype=3, filters=all_filters, plte=plte)
+    pal_rgb = plte[idx]
+    pal_luma = (
+        pal_rgb[..., 0].astype(np.uint32) * 299
+        + pal_rgb[..., 1].astype(np.uint32) * 587
+        + pal_rgb[..., 2].astype(np.uint32) * 114
+    ) // 1000
+    assert np.array_equal(decode_real(png_pal, "image/png"), pal_luma / 255.0)
+
+    with pytest.raises(NotImplementedError):  # Adam7 stays a loud gap
+        decode_real(_png_bytes(gray, ctype=0, interlace=1), "image/png")
+
+    if HAVE_PIL:  # parity with pillow on the identical payload
+        import io
+
+        from PIL import Image
+
+        pil = np.asarray(
+            Image.open(io.BytesIO(png_rgb)).convert("L"), dtype=np.float64
+        )
+        assert np.array_equal(decode_real(png_rgb, "image/png"), pil / 255.0)
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", png_gray, 8, 6, None),
+            (2, "image", "image/png", png_rgb, 8, 6, None),
+        ],
+        schema=MEDIA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, decoder=real_decoder).collect()}
+    assert rows[1]["feature"] == [float(x) for x in featurize(grid)]
+    assert rows[2]["feature"] == [float(x) for x in featurize(luma / 255.0)]
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows.values())
+
+
 def _y4m_bytes(frames, cspace: str = "C420") -> bytes:
     """Minimal YUV4MPEG2 encoder for fixtures: luma from ``frames``
     ((n, h, w) uint8), constant-128 chroma planes sized per colorspace."""
