@@ -640,6 +640,112 @@ def _q_corpus_ngram_novelty(spark, sf):
     return corpus.ngram_novelty(graft.load(spark, sf, "documents"), n=8)
 
 
+def _q_g10_clustering(spark, sf):
+    """Local clustering coefficient over the co-purchase backbone (g3's
+    substrate): per node, degree, triangle participation, and
+    cc = 2T/(deg*(deg-1)) — the transitivity profile that separates
+    community-like neighborhoods from star hubs before choosing between
+    triangle-based and propagation-based algorithms.  Oracle generated next
+    to the operator (clustering_oracle_sql) from the same items SQL, so the
+    degree-ordered orientation and cap stay in lockstep with g3."""
+    from plume_spark.operators.graph_metrics import (
+        clustering_coefficient,
+        co_occurrence_edges,
+    )
+
+    li = graft.load(spark, sf, "lineitem")
+    return clustering_coefficient(co_occurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
+def _q_ann_range_search(spark, sf):
+    """Cosine range query: every embedding with cos >= 0.2 to vector 0 —
+    the radius-threshold retrieval complement of ann_cosine_topk (recall
+    sweeps, dedup-radius probes).  Inlined-literal scoring, zero shuffle."""
+    return similarity.range_search(
+        graft.load(spark, sf, "embeddings"), query_vec_id=0, tau=0.2
+    )
+
+
+def _q_kg_conflicts(spark, sf):
+    """Functional-dependency conflict detection over the built KG: every
+    (subject, predicate) asserting >= 2 distinct objects, with the sorted
+    object list — the contradiction surface a KG curation pass reviews
+    first (e.g. one customer 'placed' many orders is fine; two birth dates
+    are not; the cardinality profile from kg_pred_cardinality says which).
+    One distinct + one partial-agg groupBy over the flagship output."""
+    _, named = _kg_flagship(spark, sf)
+    d = named.select("subj_name", "pred", "obj_name").distinct()
+    return (
+        d.groupBy("subj_name", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_objs"),
+            F.array_join(F.array_sort(F.collect_set("obj_name")), ",").alias(
+                "obj_csv"
+            ),
+        )
+        .filter(F.col("n_objs") >= 2)
+    )
+
+
+def _q_w8_transition_matrix(spark, sf):
+    """First-order Markov transition matrix over per-user event sequences:
+    (from_type, to_type, n, p) where p is row-normalized within from_type —
+    the behavioral-model read (what follows a click?) and the input to
+    sequence-anomaly scoring.  One window shuffle for the lag, one
+    partial-agg groupBy, then a window over the ~|types|^2 result rows —
+    the normalization never touches event-scale data."""
+    e = graft.load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    t = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 4
+        ).alias("p"),
+    )
+
+
+def _q_corpus_keep_best(spark, sf):
+    """Canonical-document selection: for every near-dup cluster (>= 2
+    members) from the minhash/LSH + connected-components path, keep the
+    highest-quality member (tie -> lowest doc_id) — the step that turns a
+    dedup pair list into an actual training-corpus decision.  Clusters are
+    tiny (bounded by the LSH bucket cap), so the per-cluster window is
+    bounded; quality is the oracle-checked quality_score projection."""
+    d = graft.load(spark, sf, "documents")
+    groups = _q_dedup_groups(spark, sf)  # (doc_id, keeper_id)
+    q = text.quality_score(d).select("doc_id", "quality")
+    m = groups.join(q, "doc_id")
+    win = Window.partitionBy("keeper_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(win))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("keeper_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "keeper_id",
+            F.col("doc_id").alias("best_doc"),
+            F.col("quality").alias("best_quality"),
+            "n_members",
+        )
+    )
+
+
+def _q_text_readability(spark, sf):
+    """Flesch reading ease with a vowel-group syllable proxy over documents
+    (text.readability) — zero-shuffle column projection."""
+    return text.readability(graft.load(spark, sf, "documents"))
+
+
 def _q_w7_retention_cohorts(spark, sf):
     """Weekly cohort retention over events: cohort = the user's first-seen
     week, each (cohort_week, week_offset) cell counts distinct users still
@@ -1630,6 +1736,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     driver window next round) --------------------------------------
         "g9_assortativity": _q_g9_assortativity,
         "corpus_ngram_novelty": _q_corpus_ngram_novelty,
+        "g10_clustering_coeff": _q_g10_clustering,
+        "ann_range_search": _q_ann_range_search,
+        "kg_conflicts": _q_kg_conflicts,
+        "w8_transition_matrix": _q_w8_transition_matrix,
+        "corpus_keep_best": _q_corpus_keep_best,
+        "text_readability": _q_text_readability,
         # --- driver-green in r02/r03 (trailing block) -----------------------
         "u3_except_intersect": _q_u3_except_intersect,
         "w1_turn_ordering": _q_w1,
@@ -2020,6 +2132,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE) AS cos_sim
         FROM embeddings, q
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+    sql["ann_range_search"] = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE) AS cos_sim
+        FROM embeddings, q
+        WHERE round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) >= 0.2"""
     bucket_cte = f"""
         WITH e AS (
           SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -2302,6 +2420,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.name AS name_a, b.name AS name_b, count(*) AS n_convs
         FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.name < b.name
         GROUP BY a.name, b.name"""
+    sql["kg_conflicts"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg)
+        SELECT subj_name, pred, count(*) AS n_objs,
+               string_agg(obj_name, ',' ORDER BY obj_name) AS obj_csv
+        FROM d GROUP BY subj_name, pred HAVING count(*) >= 2"""
+    sql["w8_transition_matrix"] = """
+        WITH t AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, count(*) AS n FROM t
+              WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+        SELECT from_type, to_type, n,
+               CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4)
+                    AS DOUBLE) AS p
+        FROM c"""
+    sql["text_readability"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS n_words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                 len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syllables
+          FROM documents)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CAST(round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                                  - 84.6 * (n_syllables * 1.0 / n_words), 2)
+                    AS DOUBLE) AS flesch
+        FROM t"""
     sql["w7_retention_cohorts"] = """
         WITH f AS (SELECT user_id,
                           CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
@@ -2549,6 +2700,11 @@ def oracle_sql() -> dict[str, str]:
     sql["g3_triangles"] = triangle_oracle_sql(
         "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem"
     )
+    from plume_spark.operators.graph_metrics import clustering_oracle_sql
+
+    sql["g10_clustering_coeff"] = clustering_oracle_sql(
+        "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem"
+    )
     from plume_spark.operators.graph_metrics import cooccur_oracle_sql
 
     sql["g4_cooccur"] = cooccur_oracle_sql(
@@ -2625,6 +2781,22 @@ def oracle_sql() -> dict[str, str]:
         node_col="doc_id",
         comp_col="keeper_id",
     )
+    # canonical-doc selection: the cluster oracle above joined to the
+    # quality oracle, best (quality DESC, doc_id ASC) member per cluster —
+    # pure composition of the two already-checked derivations
+    sql["corpus_keep_best"] = f"""
+        WITH comp AS (SELECT * FROM ({sql['dedup_minhash_groups']}) c),
+        q AS (SELECT doc_id, quality FROM ({_quality_select()}) qq),
+        m AS (SELECT c.keeper_id, c.doc_id, q.quality
+              FROM comp c JOIN q ON q.doc_id = c.doc_id),
+        r AS (SELECT keeper_id, doc_id, quality,
+                     row_number() OVER (PARTITION BY keeper_id
+                                        ORDER BY quality DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY keeper_id) AS n_members
+              FROM m)
+        SELECT keeper_id, doc_id AS best_doc, quality AS best_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rn = 1"""
     # incremental near-dup: identical banding/cap/star pipeline to
     # dedup_minhash_lsh, restricted to pairs touching the "new batch"
     # (doc_id % 4 == 0) and verified over token-id sets (the engine's

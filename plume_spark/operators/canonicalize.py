@@ -48,9 +48,12 @@ def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:
     force the distributed path (the kernel's vectorized hash assumes 1-byte
     chars; textnorm emits ASCII, so this triggers only on foreign callers).
     """
-    # the distinct-norm dictionary is read many times (banding, gram dict,
-    # isolated-norm union) — materialize it once
-    norms = mentions.select("norm").distinct().localCheckpoint(eager=True)
+    # lazy distinct: the driver-path probe below folds it into ONE job
+    # (distinct + limit + collect); the eager checkpoint is deferred to the
+    # distributed branch — the only consumer that re-reads the dictionary
+    # (banding, gram dict, isolated-norm union).  Each avoided job is ~0.3 s
+    # of serial driver scheduling that the N->4N scaling gate bills in full.
+    norms = mentions.select("norm").distinct()
     kwargs = {} if tau is None else {"tau": tau}
     head = norms.limit(DRIVER_LINK_MAX_NORMS + 1).collect()
     if len(head) <= DRIVER_LINK_MAX_NORMS:
@@ -61,6 +64,7 @@ def norm_components(mentions: DataFrame, tau: float | None = None) -> DataFrame:
             rows = [(n, comp.get(n, n)) for n in vals]
             spark = mentions.sparkSession
             return spark.createDataFrame(rows, "norm string, canonical_norm string")
+    norms = norms.localCheckpoint(eager=True)
     # materialize the similarity edges once: connected_components and every
     # downstream consumer would otherwise re-run the LSH + verify lineage
     edges = verified_pairs(norms, "norm", **kwargs).localCheckpoint(eager=True)

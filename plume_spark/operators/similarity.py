@@ -140,6 +140,18 @@ def brute_force_topk(
     'auto' picks by Catalyst's sizeInBytes estimate (no job).  Both compute
     the identical left-to-right float64 summation, so values (and the
     DuckDB oracle comparison) are bit-identical either way."""
+    scored = _query_scored(embeddings, query_vec_id, id_col, vec_col, strategy)
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+
+
+def _query_scored(
+    embeddings: DataFrame, query_vec_id: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """(vec_id, cos_sim): cosine of every embedding to the inlined query
+    literal — the shared scoring projection behind brute_force_topk and
+    range_search (one expression, so the two stay bit-identical)."""
     import math
 
     # plain column fetch (no transform expression -> nothing to codegen for
@@ -162,11 +174,28 @@ def brute_force_topk(
     else:
         dot = _dot_hof(v, F.array(*[F.lit(x) for x in qv]))
         nrm = _norm_hof(v)
-    scored = embeddings.select(
+    return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sim"),
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+
+
+def range_search(
+    embeddings: DataFrame, query_vec_id: int, tau: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Exact cosine range query: every vector with cos_sim >= tau to the
+    embedding of ``query_vec_id`` (the query row itself included at 1.0) —
+    the radius-threshold complement of brute_force_topk for recall-style
+    retrieval ("everything at least this similar"), sharing its inlined
+    literal scoring expression.
+
+    Scale: a pure filter over one scan — NO shuffle at all (unlike top-k's
+    TakeOrderedAndProject); the predicate on the rounded score is exactly
+    the oracle's, so boundary rows agree between engines."""
+    scored = _query_scored(embeddings, query_vec_id, id_col, vec_col, strategy)
+    return scored.filter(F.col("cos_sim") >= tau)
 
 
 def lsh_buckets(

@@ -186,3 +186,35 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         .filter(F.size("_t") > 0)
         .drop("_t")
     )
+
+
+def readability(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch): Flesch reading
+    ease with a vowel-group syllable proxy — the deterministic readability
+    gate corpus-quality pipelines threshold on.
+
+        flesch = 206.835 - 1.015 * (words / sentences)
+                         - 84.6  * (syllables / words)
+
+    Sentences = non-overlapping runs of [.!?] (floored at 1); syllables =
+    non-overlapping runs of [aeiou] in the lowercased text; words floored
+    at 1 so empty docs stay defined.  Pure column expressions (regexp_count
+    is JVM-side, whole-stage codegen) — zero shuffle, like quality_score."""
+    toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
+    n_words = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syl = F.regexp_count(F.lower(F.col(text)), F.lit(r"[aeiou]+")).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syl / n_words)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(flesch, 2).alias("flesch"),
+    )

@@ -1153,3 +1153,64 @@ def test_k_core_empties_on_final_round(spark):
 
     e = spark.createDataFrame([(1, 2)], ["a", "b"])
     assert k_core(e, k=2, max_iters=1).count() == 0
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1.0 (deg 2, one
+    triangle), cc(3)=2*1/(3*2)=0.3333, cc(4)=0.0 (deg 1)."""
+    from plume_spark.operators.graph_metrics import clustering_coefficient
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["a", "b"])
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["cc"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 0.3333),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_range_search_matches_topk_scores(spark):
+    """range_search and brute_force_topk share one scoring expression:
+    every top-k row at or above the radius must appear in the range result
+    with the IDENTICAL rounded score (bit-equal floats)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(50)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    topk = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.brute_force_topk(emb, query_vec_id=0, k=50).collect()
+    }
+    rng_rows = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.range_search(emb, query_vec_id=0, tau=0.1).collect()
+    }
+    expect = {v: s for v, s in topk.items() if s >= 0.1}
+    assert rng_rows == expect and rng_rows[0] == 1.0
+
+
+def test_readability_floors_and_formula(spark):
+    """Empty text stays defined (words and sentences floored at 1); a known
+    sentence reproduces the Flesch arithmetic exactly."""
+    from plume_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat."), (2, "   ")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    # "the cat sat.": 3 words, 1 sentence run, vowel groups: e|a|a -> 3
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
+    expected = round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 2)
+    assert r1["flesch"] == expected
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 0)

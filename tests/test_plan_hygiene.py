@@ -33,7 +33,8 @@ def test_scan_speed_ops_have_zero_shuffles(spark):
     means someone added an aggregation/join to what should run at scan
     speed over 100 TB."""
     for name in ("text_pii_scrub", "text_quality_logreg", "emb_quantize",
-                 "corpus_repetition", "text_quality", "text_fingerprint"):
+                 "corpus_repetition", "text_quality", "text_fingerprint",
+                 "text_readability", "ann_range_search"):
         plan = _plan(spark, name)
         assert _exchanges(plan) == 0, (name, plan[:1200])
 
@@ -71,6 +72,10 @@ def test_bounded_shuffle_budgets(spark):
         "kg_pred_cardinality": 6,  # (+1: the 2-row stats join plans sort-merge under AQE)
         "kg_entity_cooccur": 5,
         "w7_retention_cohorts": 5,
+        # lag window (user shuffle) + pair groupBy + tiny normalize window
+        "w8_transition_matrix": 3,
+        # distinct + conflict groupBy over the memoized flagship checkpoint
+        "kg_conflicts": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
