@@ -1670,6 +1670,71 @@ def _q_corpus_pack(spark, sf):
     return corpus.pack_chunks(graft.load(spark, sf, "documents"), budget=256, n_shards=8)
 
 
+def _q_w9_peak_concurrency(spark, sf):
+    """Per-day peak session concurrency via the day-partitioned sweep line
+    (operators/temporal.py:peak_concurrency) over the same gap-sessionized
+    spans as t5 — the capacity read (max simultaneous sessions) that the
+    naive global +1/-1 sweep cannot produce at scale without serializing."""
+    from plume_spark.operators.temporal import peak_concurrency
+
+    e = graft.load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_sess").over(w).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    return peak_concurrency(sess)
+
+
+def _q_text_word_entropy(spark, sf):
+    """Per-doc unigram Shannon entropy (operators/text.py:word_entropy):
+    the Gopher-style diversity signal — see the operator docstring."""
+    return text.word_entropy(graft.load(spark, sf, "documents"))
+
+
+def _q_corpus_length_hist(spark, sf):
+    """Power-of-two doc-length histogram per source
+    (operators/corpus.py:length_histogram): exact bit-length buckets, so
+    edges are engine-portable with no float log2."""
+    return corpus.length_histogram(graft.load(spark, sf, "documents"))
+
+
+def _q_kg_schema_induce(spark, sf):
+    """Implicit-schema induction over the BUILT knowledge graph: per
+    (subject kind, predicate, object kind) triple pattern, distinct-triple
+    and distinct-entity counts — the ontology-shape statistic (domain/range
+    inference) a KG-construction pass emits so downstream consumers know
+    what the graph actually contains, vs what the schema claims.
+
+    Scale: triples join the (far smaller) entity-kind table on canonical
+    name — two equi-joins the planner may broadcast when the entity side
+    fits, else a plain shuffle join bounded by entity count; the pattern
+    aggregate is a partial-agg over a handful of groups."""
+    ents, named = _kg_flagship(spark, sf)
+    kinds = ents.select("canonical_name", "kind")
+    d = named.select("subj_name", "pred", "obj_name").distinct()
+    ks = kinds.select(
+        F.col("canonical_name").alias("subj_name"), F.col("kind").alias("subj_kind")
+    )
+    ko = kinds.select(
+        F.col("canonical_name").alias("obj_name"), F.col("kind").alias("obj_kind")
+    )
+    return (
+        d.join(ks, "subj_name")
+        .join(ko, "obj_name")
+        .groupBy("subj_kind", "pred", "obj_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj_name").alias("n_subj"),
+            F.countDistinct("obj_name").alias("n_obj"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
@@ -1681,6 +1746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # same oracle in pytest and rotate into round 5's window.
     return {
         # --- new in round 4 (never driver-checked) -------------------------
+        "w9_peak_concurrency": _q_w9_peak_concurrency,
+        "text_word_entropy": _q_text_word_entropy,
+        "corpus_length_hist": _q_corpus_length_hist,
+        "kg_schema_induce": _q_kg_schema_induce,
         "kg_pred_cardinality": _q_kg_pred_cardinality,
         "kg_entity_cooccur": _q_kg_entity_cooccur,
         "w7_retention_cohorts": _q_w7_retention_cohorts,
@@ -2375,6 +2444,20 @@ def oracle_sql() -> dict[str, str]:
                string_agg(DISTINCT c.norm, ',' ORDER BY c.norm) AS alias_csv
         FROM canon c LEFT JOIN nk1 k ON k.norm = c.norm
         GROUP BY c.cname"""
+    # implicit-schema induction: the SAME canonicalized triple set and the
+    # SAME kind-rule entity table, joined and aggregated by triple pattern
+    sql["kg_schema_induce"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        ents AS ({sql['kg_entities']}),
+        d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg)
+        SELECT es.kind AS subj_kind, d.pred, eo.kind AS obj_kind,
+               count(*) AS n_triples,
+               count(DISTINCT d.subj_name) AS n_subj,
+               count(DISTINCT d.obj_name) AS n_obj
+        FROM d
+        JOIN ents es ON es.canonical_name = d.subj_name
+        JOIN ents eo ON eo.canonical_name = d.obj_name
+        GROUP BY 1, 2, 3"""
     # kg_path2's oracle is the NAIVE path self-join (the definition); the
     # engine runs the degree-product rewrite — counts must agree exactly
     _nation_norm = NORM_SQL.format(col="n_name")
@@ -2695,6 +2778,44 @@ def oracle_sql() -> dict[str, str]:
         FROM s a JOIN s b
           ON (a.user_id, a.session_idx) < (b.user_id, b.session_idx)
          AND a.s_start <= b.s_end AND b.s_start <= a.s_end"""
+    from plume_spark.operators.temporal import peak_concurrency_oracle_sql
+
+    # same gap-sessionized spans as t5; the sweep SQL is generated next to
+    # the operator so the day clip and tie rule stay in lockstep
+    sql["w9_peak_concurrency"] = peak_concurrency_oracle_sql(
+        f"""WITH sx AS ({sql['w3_sessionize']}),
+            s AS (SELECT sx.user_id, sx.session_idx,
+                         min(e.ts) AS s_start, max(e.ts) AS s_end
+                  FROM sx JOIN events e ON sx.event_id = e.event_id
+                  GROUP BY sx.user_id, sx.session_idx)
+            SELECT s_start, s_end FROM s"""
+    )
+    sql["text_word_entropy"] = """
+        WITH toks AS (
+          SELECT doc_id, t AS tok
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t <> ''),
+        cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS DOUBLE)
+                 AS entropy
+        FROM cnt GROUP BY doc_id"""
+    sql["corpus_length_hist"] = """
+        WITH a AS (
+          SELECT source AS grp, coalesce(n_chars, 0) AS len,
+                 CASE WHEN coalesce(n_chars, 0) > 0
+                      THEN CAST(length(bin(coalesce(n_chars, 0))) AS INT)
+                      ELSE 0 END AS bucket
+          FROM documents),
+        g AS (SELECT grp, bucket, count(*) AS n_docs, sum(len) AS total_chars
+              FROM a GROUP BY grp, bucket)
+        SELECT grp, bucket, n_docs, CAST(total_chars AS BIGINT) AS total_chars,
+               CAST(round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY grp), 6)
+                    AS DOUBLE) AS share
+        FROM g"""
     from plume_spark.operators.graph_metrics import triangle_oracle_sql
 
     sql["g3_triangles"] = triangle_oracle_sql(

@@ -392,3 +392,34 @@ def ngram_novelty(
             F.round(novel / F.count(F.lit(1)), 6).alias("novelty_frac"),
         )
     )
+
+
+def length_histogram(
+    df: DataFrame, len_col: str = "n_chars", group_col: str = "source"
+) -> DataFrame:
+    """Power-of-two length histogram per corpus slice: the size-distribution
+    diagnostic run before choosing chunking/packing parameters and for
+    spotting truncation artifacts (a spike in one bucket = a hard cap
+    somewhere upstream).
+
+    Buckets are EXACT integer bit-lengths (bucket k holds lengths in
+    [2^(k-1), 2^k - 1]; 0 and NULL land in bucket 0) computed via the
+    binary-string length — no float log2, so bucket edges are
+    engine-portable by construction.  (group, bucket, n_docs, total_chars,
+    share) with share = bucket fraction within its group.  One partial-agg
+    shuffle plus a window over the (tiny) aggregate."""
+    ln = F.coalesce(F.col(len_col).cast("long"), F.lit(0))
+    bucket = F.when(ln > 0, F.length(F.bin(ln))).otherwise(F.lit(0)).cast("int")
+    agg = (
+        df.select(F.col(group_col).alias("grp"), ln.alias("_len"), bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_len").alias("total_chars"))
+    )
+    w = Window.partitionBy("grp")
+    return agg.select(
+        "grp",
+        "bucket",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )

@@ -205,3 +205,81 @@ def interval_overlap_pairs(
             ).alias("overlap_us"),
         )
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame, start: str = "s_start", end: str = "s_end"
+) -> DataFrame:
+    """Sweep-line concurrency: per calendar day, the PEAK number of
+    simultaneously-active intervals and the number of intervals active that
+    day — the capacity/load read (max concurrent sessions, peak open
+    connections) run over sessionized event streams.  Intervals are closed
+    ([start, end]); two intervals touching end-to-start count as concurrent,
+    matching interval_overlap_pairs' inclusive predicate.
+
+    Scale form: the classic +1/-1 sweep needs a GLOBAL time ordering — a
+    single-partition window that serializes at any real volume.  Instead
+    each interval explodes to the calendar days it covers, clipped to the
+    day's bounds, and the sweep runs per day: one shuffle on day, each
+    partition sorting only its own day's endpoints.  Day volume is bounded
+    by daily traffic, not corpus size, and a hot day is one partition's
+    sort (AQE skew territory), never a global serialization.  Tie rule:
+    at equal timestamps starts sort before ends (delta DESC), so touching
+    intervals register as concurrent; equal (t, delta) rows commute under
+    the running max, making the per-day peak order-independent and
+    engine-portable."""
+    s = F.col(start).cast("timestamp")
+    e = F.col(end).cast("timestamp")
+    seg = intervals.select(
+        F.explode(F.sequence(F.to_date(s), F.to_date(e))).alias("day"),
+        s.alias("_s"),
+        e.alias("_e"),
+    ).select(
+        "day",
+        F.greatest(F.col("_s"), F.col("day").cast("timestamp")).alias("cs"),
+        F.least(F.col("_e"), F.date_add(F.col("day"), 1).cast("timestamp")).alias("ce"),
+    )
+    pts = seg.select("day", F.col("cs").alias("t"), F.lit(1).alias("delta")).unionAll(
+        seg.select("day", F.col("ce").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("_run", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(
+            F.max("_run").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_active"),
+        )
+    )
+
+
+def peak_concurrency_oracle_sql(sessions_sql: str) -> str:
+    """DuckDB-SQL twin of peak_concurrency over a ``sessions_sql`` yielding
+    (s_start, s_end) timestamps — generated next to the operator so the
+    day-clipping and tie rule stay in lockstep."""
+    return f"""
+        WITH sess AS MATERIALIZED (SELECT s_start, s_end FROM ({sessions_sql})),
+        seg AS (
+          SELECT CAST(d AS DATE) AS day,
+                 greatest(s_start, CAST(CAST(d AS DATE) AS TIMESTAMP)) AS cs,
+                 least(s_end, CAST(CAST(d AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS ce
+          FROM sess, unnest(generate_series(CAST(CAST(s_start AS DATE) AS TIMESTAMP),
+                                            CAST(CAST(s_end AS DATE) AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS u(d)),
+        pts AS (
+          SELECT day, cs AS t, 1 AS delta FROM seg
+          UNION ALL
+          SELECT day, ce AS t, -1 AS delta FROM seg),
+        run AS (
+          SELECT day, delta,
+                 sum(delta) OVER (PARTITION BY day ORDER BY t ASC, delta DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM pts)
+        SELECT day,
+               CAST(max(c) AS BIGINT) AS peak_concurrency,
+               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+        FROM run GROUP BY day"""

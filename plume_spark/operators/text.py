@@ -218,3 +218,31 @@ def readability(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         n_syl.alias("n_syllables"),
         F.round(flesch, 2).alias("flesch"),
     )
+
+
+def word_entropy(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc unigram Shannon entropy (nats) over whitespace tokens — the
+    Gopher-style diversity signal: looping/generated text collapses toward
+    0, natural prose sits near log(vocab).  Uses the identity
+    H = ln(n) - sum(c*ln(c))/n over exact int64 token counts, so the only
+    float work is one log per distinct token.
+
+    (doc_id, n_tokens, n_distinct_tokens, entropy).  Scale: explode ->
+    partial-agg on (doc_id, token) -> partial-agg on doc_id — two map-side
+    combinable shuffles, both keyed by doc (never by corpus vocabulary), so
+    skew is bounded by the largest single document."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text), " "), lambda t: t != "")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("entropy"),
+    )
