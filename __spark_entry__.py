@@ -1735,6 +1735,49 @@ def _q_kg_schema_induce(spark, sf):
     )
 
 
+def _q_g11_edge_lift(spark, sf):
+    """Lift/PMI edge weighting over the co-purchase backbone
+    (operators/graph_metrics.py:edge_lift): separates popularity-driven
+    co-occurrence from genuine association before community detection or
+    KG-edge promotion — see the operator docstring."""
+    from plume_spark.operators.graph_metrics import edge_lift
+
+    li = graft.load(spark, sf, "lineitem")
+    return edge_lift(li, "l_orderkey", "l_partkey", min_groups=2)
+
+
+def _q_w10_zscore_outliers(spark, sf):
+    """Per-user anomaly detection: events whose value sits >= 3 population
+    standard deviations from that user's mean.  The moments are EXACT
+    decimal sums (sum, sum-of-squares) cast to double before the single
+    division — the same engine-portable pattern as a1_group_sum — so the
+    z-score and the |z| >= 3 boundary are bit-identical across engines.
+
+    Scale: one partial-agg shuffle for the per-user moments (map-side
+    combinable), then one equi-join of facts to the (far smaller) moment
+    table — broadcast when it fits, never a window over raw events."""
+    e = graft.load(spark, sf, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    agg = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("sum_d"),
+            F.sum(dec * dec).cast("double").alias("sumsq_d"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sum_d") / nd
+    std = F.sqrt(F.greatest(F.col("sumsq_d") / nd - mean * mean, F.lit(0.0)))
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(agg, "user_id")
+        .filter((std > 0) & (F.abs(z) >= 3.0))
+        .select("event_id", "user_id", "value", F.round(z, 4).alias("z"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
@@ -1747,6 +1790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 4 (never driver-checked) -------------------------
         "w9_peak_concurrency": _q_w9_peak_concurrency,
+        "g11_edge_lift": _q_g11_edge_lift,
+        "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
         "kg_schema_induce": _q_kg_schema_induce,
@@ -2855,6 +2900,26 @@ def oracle_sql() -> dict[str, str]:
     sql["g8_common_neighbors"] = common_neighbors_oracle_sql(
         f"SELECT a, b FROM ({_copurchase}) WHERE n_groups >= 2", max_degree=64
     )
+    from plume_spark.operators.graph_metrics import edge_lift_oracle_sql
+
+    sql["g11_edge_lift"] = edge_lift_oracle_sql(
+        "SELECT l_orderkey AS grp, l_partkey AS item FROM lineitem", min_groups=2
+    )
+    sql["w10_zscore_outliers"] = """
+        WITH a AS (
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_d,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))
+                          * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumsq_d
+          FROM events GROUP BY user_id HAVING count(*) >= 2),
+        s AS (
+          SELECT user_id, sum_d / n AS mean,
+                 sqrt(greatest(sumsq_d / n - (sum_d / n) * (sum_d / n), 0.0)) AS std
+          FROM a)
+        SELECT e.event_id, e.user_id, e.value,
+               CAST(round((e.value - s.mean) / s.std, 4) AS DOUBLE) AS z
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE s.std > 0 AND abs((e.value - s.mean) / s.std) >= 3.0"""
     from plume_spark.operators.graph_metrics import assortativity_oracle_sql
 
     sql["g9_assortativity"] = assortativity_oracle_sql(
