@@ -76,6 +76,20 @@ def test_bounded_shuffle_budgets(spark):
         "w8_transition_matrix": 3,
         # distinct + conflict groupBy over the memoized flagship checkpoint
         "kg_conflicts": 2,
+        # late round-4 additions
+        # session window (user) + day repartition for sweep + day agg
+        "w9_peak_concurrency": 3,
+        # (doc, token) partial + doc partial — both map-side combinable
+        "text_word_entropy": 2,
+        # one partial agg + the window over the (tiny) aggregate
+        "corpus_length_hist": 2,
+        # distinct + two kind joins + pattern agg over the memoized flagship
+        "kg_schema_induce": 7,
+        # ONE group fold (checkpointed, 3 consumers) + pair agg + marginal
+        # agg + two marginal joins; was 21 before the shared-groups rewrite
+        "g11_edge_lift": 7,
+        # per-user moments partial agg + the fact-to-moments equi-join
+        "w10_zscore_outliers": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
