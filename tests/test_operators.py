@@ -1214,3 +1214,75 @@ def test_readability_floors_and_formula(spark):
     assert r1["flesch"] == expected
     r2 = got[2]
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 0)
+
+
+def test_peak_concurrency_midnight_span_and_ties(spark):
+    """A session spanning midnight counts toward BOTH days (clipped to day
+    bounds); touching sessions (end == next start) count as concurrent
+    under the starts-before-ends tie rule; a single-point session still
+    registers."""
+    import datetime as dt
+
+    from plume_spark.operators.temporal import peak_concurrency
+
+    T = dt.datetime
+    rows = [
+        # spans midnight: active on the 1st and the 2nd
+        (T(2024, 1, 1, 23, 0), T(2024, 1, 2, 1, 0)),
+        # touches the end of the midnight session exactly -> concurrent
+        (T(2024, 1, 2, 1, 0), T(2024, 1, 2, 2, 0)),
+        # instantaneous session later that day
+        (T(2024, 1, 2, 12, 0), T(2024, 1, 2, 12, 0)),
+    ]
+    df = spark.createDataFrame(rows, "s_start timestamp, s_end timestamp")
+    got = {str(r["day"]): r for r in peak_concurrency(df).collect()}
+    assert got["2024-01-01"]["peak_concurrency"] == 1
+    assert got["2024-01-01"]["n_active"] == 1
+    # at 01:00 on the 2nd, the midnight session's end ties the next start:
+    # start sorts first -> both active -> peak 2
+    assert got["2024-01-02"]["peak_concurrency"] == 2
+    assert got["2024-01-02"]["n_active"] == 3
+
+
+def test_word_entropy_degenerate_and_uniform(spark):
+    """All-same tokens -> entropy 0; k uniform tokens -> ln(k); empty /
+    whitespace-only docs drop out (no token rows), matching the oracle."""
+    import math
+
+    from plume_spark.operators.text import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "a b c d"),
+            (3, "   "),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in word_entropy(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_distinct_tokens"] == 1
+    assert got[2]["entropy"] == round(math.log(4), 6)
+    assert got[2]["n_tokens"] == 4 and got[2]["n_distinct_tokens"] == 4
+
+
+def test_edge_lift_known_graph(spark):
+    """Hand-checked lift on a 3-group toy: (a,b) co-occur in 2 of 3 groups,
+    each item appears in 2 or 3 -> lift = n_ab * N / (n_a * n_b)."""
+    from plume_spark.operators.graph_metrics import edge_lift
+
+    rows = [
+        ("g1", "a"), ("g1", "b"),
+        ("g2", "a"), ("g2", "b"), ("g2", "c"),
+        ("g3", "a"), ("g3", "c"),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    got = {(r["a"], r["b"]): r for r in edge_lift(df, "grp", "item", min_groups=2).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_groups"], ab["n_a"], ab["n_b"]) == (2, 3, 2)
+    assert ab["lift"] == round(2 * 3 / (3 * 2), 6) == 1.0
+    ac = got[("a", "c")]
+    assert ac["lift"] == round(2 * 3 / (3 * 2), 6)
+    # (b, c) share only g2 -> filtered by min_groups=2
+    assert ("b", "c") not in got
