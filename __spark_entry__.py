@@ -1735,6 +1735,15 @@ def _q_kg_schema_induce(spark, sf):
     )
 
 
+def _q_corpus_containment(spark, sf):
+    """Asymmetric containment dedup (operators/corpus.py:containment_pairs):
+    directed pairs where >= 50% of doc_a's distinct 5-grams appear in doc_b
+    — the partial-copy detector symmetric Jaccard misses."""
+    return corpus.containment_pairs(
+        graft.load(spark, sf, "documents"), n=5, tau=0.5, max_gram_docs=64
+    )
+
+
 def _q_g11_edge_lift(spark, sf):
     """Lift/PMI edge weighting over the co-purchase backbone
     (operators/graph_metrics.py:edge_lift): separates popularity-driven
@@ -1791,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never driver-checked) -------------------------
         "w9_peak_concurrency": _q_w9_peak_concurrency,
         "g11_edge_lift": _q_g11_edge_lift,
+        "corpus_containment": _q_corpus_containment,
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
@@ -3022,6 +3032,28 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN r USING (source)
         WHERE ((d.doc_id % {corpus.MIX_P}) * {corpus.MIX_A} + {corpus.MIX_B})
                 % {corpus.MIX_P} < r.rate * {corpus.MIX_P}"""
+    sql["corpus_containment"] = """
+        WITH g AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                 toks[i+3] || ' ' || toks[i+4] AS tok
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+                WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 5),
+               (SELECT unnest(range(1, (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) + 1 FROM documents))) AS i)
+          WHERE i <= len(toks) - 4),
+        rare AS (SELECT tok FROM (SELECT tok, count(*) AS dfc FROM g GROUP BY tok)
+                 WHERE dfc <= 64),
+        gg AS (SELECT g.doc_id, g.tok FROM g JOIN rare USING (tok)),
+        sizes AS (SELECT doc_id, count(*) AS n_grams_a FROM gg GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM gg a JOIN gg b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+        SELECT p.doc_a, p.doc_b, s.n_grams_a, p.n_common,
+               CAST(round(p.n_common / CAST(s.n_grams_a AS DOUBLE), 6) AS DOUBLE)
+                 AS containment
+        FROM p JOIN sizes s ON s.doc_id = p.doc_a
+        WHERE p.n_common >= 0.5 * s.n_grams_a"""
     sql["corpus_dupe_ngrams"] = """
         WITH g AS (
           SELECT DISTINCT doc_id,

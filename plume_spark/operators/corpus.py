@@ -423,3 +423,58 @@ def length_histogram(
         "total_chars",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 5,
+    tau: float = 0.5,
+    max_gram_docs: int = 64,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment dedup: directed pairs (doc_a, doc_b) where at
+    least ``tau`` of doc_a's distinct word n-grams also appear in doc_b —
+    the partial-copy detector (quotes, wrapped articles, boilerplate-padded
+    rewraps) that symmetric Jaccard near-dup misses: a short doc fully
+    embedded in a long one has low Jaccard but containment 1.0.
+
+    (doc_a, doc_b, n_grams_a, n_common, containment), containment =
+    n_common / n_grams_a rounded to 6 dp, doc_a != doc_b, directed (both
+    orientations can appear).
+
+    Scale: the shared-gram self-join is capped by gram document frequency —
+    grams appearing in more than ``max_gram_docs`` docs are dropped from
+    BOTH the candidate join and the denominator (stop-grams carry no
+    containment signal; the same degenerate-hub policy as the LSH band cap
+    and the co-occurrence group cap), bounding per-gram fan-out at cap^2
+    and keeping candidate volume linear in corpus gram count.  One
+    checkpointed capped-gram table feeds the sizes, both join sides, and
+    the pair count."""
+    g = shingles(df, n=n, text=text, id_col=id_col)
+    rare = (
+        g.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_gram_docs)
+        .select("tok")
+    )
+    gg = g.join(rare, "tok").localCheckpoint(eager=True)  # 3 consumers
+    sizes = gg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams_a"))
+    pairs = (
+        gg.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(gg.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(F.col("n_common") >= F.lit(tau) * F.col("n_grams_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_grams_a",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_grams_a"), 6).alias("containment"),
+        )
+    )

@@ -90,6 +90,9 @@ def test_bounded_shuffle_budgets(spark):
         "g11_edge_lift": 7,
         # per-user moments partial agg + the fact-to-moments equi-join
         "w10_zscore_outliers": 2,
+        # gram-df cap agg + size agg + shared-gram pair join + pair agg,
+        # all over ONE checkpointed capped-gram table
+        "corpus_containment": 4,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
