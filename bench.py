@@ -61,6 +61,12 @@ HEADLINE = [
     # flagship + --write benches instead of doubling suite time here
     "g7_kcore",
     "ann_knn_graph",
+    # round-4 additions: one per family added this round (same policy) —
+    # the capped shared-gram containment join, the lift/PMI shared-groups
+    # fold, and the day-partitioned sweep line
+    "corpus_containment",
+    "g11_edge_lift",
+    "w9_peak_concurrency",
 ]
 
 
