@@ -1735,6 +1735,31 @@ def _q_kg_schema_induce(spark, sf):
     )
 
 
+def _q_kg_fact_recency(spark, sf):
+    """Temporal scoping of the built KG: per canonical triple, first/last
+    mention wall-clock time, mention count, and observation span in days —
+    the fact-validity signal (recency decay, stale-fact detection) a KG
+    consumer needs before trusting an extracted edge.  Mentions re-attach
+    to wall-clock by joining the flagship's (conv_id, turn_idx) provenance
+    back to the transcript timestamps — one equi-join on the conversation
+    key the extraction already partitions by, then a partial agg on the
+    triple key."""
+    _, named = _kg_flagship(spark, sf)
+    t = graft.kg_transcripts(spark, sf).select("conv_id", "turn_idx", "ts")
+    return (
+        named.join(t, ["conv_id", "turn_idx"])
+        .groupBy("subj_name", "pred", "obj_name")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+            .cast("long")
+            .alias("span_days"),
+        )
+    )
+
+
 def _q_corpus_containment(spark, sf):
     """Asymmetric containment dedup (operators/corpus.py:containment_pairs):
     directed pairs where >= 50% of doc_a's distinct 5-grams appear in doc_b
@@ -1801,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w9_peak_concurrency": _q_w9_peak_concurrency,
         "g11_edge_lift": _q_g11_edge_lift,
         "corpus_containment": _q_corpus_containment,
+        "kg_fact_recency": _q_kg_fact_recency,
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
@@ -2499,6 +2525,25 @@ def oracle_sql() -> dict[str, str]:
                string_agg(DISTINCT c.norm, ',' ORDER BY c.norm) AS alias_csv
         FROM canon c LEFT JOIN nk1 k ON k.norm = c.norm
         GROUP BY c.cname"""
+    # temporal scoping: the SAME canonicalized triple set re-attached to the
+    # transcript timestamps via its (conv_id, turn_idx) provenance
+    sql["kg_fact_recency"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        tt AS (
+          SELECT 'conv-' || CAST(c.c_custkey AS VARCHAR) AS conv_id,
+                 CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                         ORDER BY o.o_orderdate, o.o_orderkey) - 1 AS INT) AS turn_idx,
+                 CAST(o.o_orderdate AS TIMESTAMP) AS ts
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey)
+        SELECT kg.subj_name, kg.pred, kg.obj_name,
+               min(tt.ts) AS first_seen, max(tt.ts) AS last_seen,
+               count(*) AS n_mentions,
+               CAST(date_diff('day', CAST(min(tt.ts) AS DATE),
+                              CAST(max(tt.ts) AS DATE)) AS BIGINT) AS span_days
+        FROM kg JOIN tt USING (conv_id, turn_idx)
+        GROUP BY kg.subj_name, kg.pred, kg.obj_name"""
     # implicit-schema induction: the SAME canonicalized triple set and the
     # SAME kind-rule entity table, joined and aggregated by triple pattern
     sql["kg_schema_induce"] = f"""

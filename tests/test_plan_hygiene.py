@@ -93,6 +93,9 @@ def test_bounded_shuffle_budgets(spark):
         # gram-df cap agg + size agg + shared-gram pair join + pair agg,
         # all over ONE checkpointed capped-gram table
         "corpus_containment": 4,
+        # transcript window + provenance equi-join to the memoized flagship
+        # checkpoint + the triple-key partial agg
+        "kg_fact_recency": 6,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
