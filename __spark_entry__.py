@@ -1760,6 +1760,16 @@ def _q_kg_fact_recency(spark, sf):
     )
 
 
+def _q_corpus_weighted_sample(spark, sf):
+    """Deterministic length-weighted sampling per source
+    (operators/corpus.py:weighted_sample_topk): Efraimidis-Spirakis keys
+    from the portable poly_hash — reproducible, resume-safe, seedless."""
+    return corpus.weighted_sample_topk(
+        graft.load(spark, sf, "documents"), weight_col="n_chars",
+        group_col="source", k=20
+    )
+
+
 def _q_corpus_containment(spark, sf):
     """Asymmetric containment dedup (operators/corpus.py:containment_pairs):
     directed pairs where >= 50% of doc_a's distinct 5-grams appear in doc_b
@@ -1828,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_edge_lift": _q_g11_edge_lift,
         "corpus_containment": _q_corpus_containment,
         "kg_fact_recency": _q_kg_fact_recency,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
@@ -3256,6 +3267,21 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
         FROM (SELECT doc_id, CAST({_poly_docid} % 100 AS INT) AS bucket
               FROM documents)"""
+    sql["corpus_weighted_sample"] = f"""
+        WITH keyed AS (
+          SELECT source AS grp, doc_id,
+                 greatest(CAST(n_chars AS DOUBLE), 1.0) AS w,
+                 ln((({_poly_docid} % 1048576) + 1) / 1048577.0)
+                   / greatest(CAST(n_chars AS DOUBLE), 1.0) AS k
+          FROM documents),
+        ranked AS (
+          SELECT grp, doc_id, w, k,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY k DESC, doc_id ASC) AS rank
+          FROM keyed)
+        SELECT grp, doc_id, CAST(w AS BIGINT) AS w,
+               CAST(round(k, 9) AS DOUBLE) AS samp_key, rank
+        FROM ranked WHERE rank <= 20"""
     sql["corpus_tfidf_topk"] = """
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),

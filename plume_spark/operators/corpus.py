@@ -478,3 +478,51 @@ def containment_pairs(
             F.round(F.col("n_common") / F.col("n_grams_a"), 6).alias("containment"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): per group, the k docs with the largest ln(u)/w keys,
+    where u is a uniform derived from the portable poly_hash of the doc id
+    and w the sampling weight — here doc length, the token-budget-aware
+    mixing sampler (long docs proportionally likelier, every doc possible).
+
+    (grp, doc_id, w, samp_key, rank).  Deterministic BY CONSTRUCTION: the
+    "randomness" is poly_hash(id) — the same doc draws the same u on every
+    run, every cluster size, and in the SQL oracle — so the sample is
+    reproducible and resume-safe with no seed plumbing or materialized
+    assignment table.  Scale: key assignment is a pure projection; the
+    top-k is one window per group (partial top-k under AQE), never a
+    global sort."""
+    m = 1 << 20
+    u = (
+        F.pmod(poly_hash(F.col(id_col).cast("string")), F.lit(m)) + 1
+    ).cast("double") / float(m + 1)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.log(u) / w
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        w.alias("w"),
+        key.alias("_key"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.col("_key").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "grp",
+        "doc_id",
+        F.col("w").cast("long").alias("w"),
+        F.round("_key", 9).alias("samp_key"),
+        "rank",
+    )

@@ -96,6 +96,8 @@ def test_bounded_shuffle_budgets(spark):
         # transcript window + provenance equi-join to the memoized flagship
         # checkpoint + the triple-key partial agg
         "kg_fact_recency": 6,
+        # key assignment is a pure projection; ONE window shuffle per group
+        "corpus_weighted_sample": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
