@@ -1760,6 +1760,29 @@ def _q_kg_fact_recency(spark, sf):
     )
 
 
+def _q_w11_week_over_week(spark, sf):
+    """Week-over-week volume change per event type: weekly counts + the
+    lagged percent delta — the trend read every operational dashboard
+    starts from.  Weeks are exact date_trunc buckets; the pct change is one
+    double division of exact int64 counts (engine-portable).  Scale: one
+    partial-agg shuffle to (type, week) — cardinality is types x weeks, so
+    the lag window runs over a tiny aggregate, never the raw events."""
+    e = graft.load(spark, sf, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    agg = e.groupBy(F.col("event_type"), wk.alias("week")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("week").asc())
+    prev = F.lag("n").over(w)
+    return agg.select(
+        "event_type",
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev).cast("double") / prev, 6).alias("wow_change"),
+    )
+
+
 def _q_corpus_weighted_sample(spark, sf):
     """Deterministic length-weighted sampling per source
     (operators/corpus.py:weighted_sample_topk): Efraimidis-Spirakis keys
@@ -1839,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_containment": _q_corpus_containment,
         "kg_fact_recency": _q_kg_fact_recency,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
+        "w11_week_over_week": _q_w11_week_over_week,
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
@@ -2894,6 +2918,17 @@ def oracle_sql() -> dict[str, str]:
 
     # same gap-sessionized spans as t5; the sweep SQL is generated next to
     # the operator so the day clip and tie rule stay in lockstep
+    sql["w11_week_over_week"] = """
+        WITH a AS (
+          SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+                 count(*) AS n
+          FROM events GROUP BY event_type, date_trunc('week', ts))
+        SELECT event_type, week, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+               CAST(round((n - lag(n) OVER (PARTITION BY event_type ORDER BY week))
+                          / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                                 AS DOUBLE), 6) AS DOUBLE) AS wow_change
+        FROM a"""
     sql["w9_peak_concurrency"] = peak_concurrency_oracle_sql(
         f"""WITH sx AS ({sql['w3_sessionize']}),
             s AS (SELECT sx.user_id, sx.session_idx,

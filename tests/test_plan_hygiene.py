@@ -98,6 +98,8 @@ def test_bounded_shuffle_budgets(spark):
         "kg_fact_recency": 6,
         # key assignment is a pure projection; ONE window shuffle per group
         "corpus_weighted_sample": 1,
+        # one (type, week) partial agg + the lag window over the tiny agg
+        "w11_week_over_week": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
