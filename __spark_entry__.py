@@ -297,6 +297,45 @@ def _q_emb_centroids(spark, sf):
     )
 
 
+def _q_emb_outliers(spark, sf):
+    """Embedding-space outlier scan (the mislabeled-data read): per label,
+    the 10 vectors farthest from their label centroid by squared L2 —
+    points that sit in the wrong cluster are the first candidates for
+    label-noise review before training on the set.
+
+    Determinism: the centroid is emb_centroids' decimal-exact mean (rounded
+    once); each squared residual is ONE double op cast to decimal(38,18),
+    so the distance sum is associative-exact under any partitioning — the
+    same plan-independence pattern as a1/a8/emb_centroids.  Scale: long-form
+    posexplode, one (label, dim) partial agg, a (label, dim)-keyed join
+    back, one (vec, label) partial agg, and a per-label top-k window over
+    the per-vector aggregate — no step touches vectors pairwise."""
+    emb = graft.load(spark, sf, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(
+            (F.sum(F.col("v").cast("decimal(27,12)")) / F.count("*")).cast("double"), 6
+        ).alias("c")
+    )
+    vd = F.col("v").cast("double")
+    d2 = (
+        ex.join(cent, ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            ((vd - F.col("c")) * (vd - F.col("c"))).cast("decimal(38,18)").alias("sq"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").cast("double").alias("d2x"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2x").desc(), F.col("vec_id").asc())
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("label", "vec_id", F.round("d2x", 6).alias("dist2"), "rank")
+    )
+
+
 def _q_w4_sliding_rate(spark, sf):
     """Sliding event rate: per event, how many same-user events fell in the
     preceding hour — a RANGE frame over event time (one window pass; the
@@ -1863,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_recency": _q_kg_fact_recency,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "w11_week_over_week": _q_w11_week_over_week,
+        "emb_outliers": _q_emb_outliers,
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
@@ -2854,6 +2894,27 @@ def oracle_sql() -> dict[str, str]:
                  AS centroid,
                count(*) AS n_vecs
         FROM x GROUP BY label, dim"""
+    sql["emb_outliers"] = """
+        WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        x AS (SELECT vec_id, label, CAST(i - 1 AS INT) AS dim, e[i] AS v
+              FROM d, (SELECT unnest(range(1, (SELECT max(len(CAST(embedding AS DOUBLE[]))) + 1 FROM embeddings))) AS i)
+              WHERE i <= len(e)),
+        cent AS (SELECT label, dim,
+                        round(CAST(sum(CAST(v AS DECIMAL(27,12))) / count(*)
+                                   AS DOUBLE), 6) AS c
+                 FROM x GROUP BY label, dim),
+        sq AS (SELECT x.vec_id, x.label,
+                      CAST((x.v - cent.c) * (x.v - cent.c) AS DECIMAL(38,18)) AS sq
+               FROM x JOIN cent ON cent.label = x.label AND cent.dim = x.dim),
+        d2 AS (SELECT vec_id, label, CAST(sum(sq) AS DOUBLE) AS d2x
+               FROM sq GROUP BY vec_id, label),
+        r AS (SELECT label, vec_id, d2x,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY d2x DESC, vec_id ASC) AS rank
+              FROM d2)
+        SELECT label, vec_id, CAST(round(d2x, 6) AS DOUBLE) AS dist2, rank
+        FROM r WHERE rank <= 10"""
     sql["w4_sliding_rate"] = """
         SELECT event_id, user_id,
                count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)

@@ -100,6 +100,9 @@ def test_bounded_shuffle_budgets(spark):
         "corpus_weighted_sample": 1,
         # one (type, week) partial agg + the lag window over the tiny agg
         "w11_week_over_week": 2,
+        # (label, dim) centroid agg + keyed join + (vec, label) agg +
+        # per-label top-k window over the per-vector aggregate
+        "emb_outliers": 6,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
