@@ -1822,6 +1822,14 @@ def _q_w11_week_over_week(spark, sf):
     )
 
 
+def _q_corpus_vocab_growth(spark, sf):
+    """Heaps-law vocabulary-growth curve (operators/corpus.py:vocab_growth):
+    first-occurrence counting via min(doc_id) per token + a two-level
+    cumulative sum whose only unpartitioned window runs over the tiny
+    bucket aggregate — see the operator docstring."""
+    return corpus.vocab_growth(graft.load(spark, sf, "documents"))
+
+
 def _q_corpus_weighted_sample(spark, sf):
     """Deterministic length-weighted sampling per source
     (operators/corpus.py:weighted_sample_topk): Efraimidis-Spirakis keys
@@ -1903,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "w11_week_over_week": _q_w11_week_over_week,
         "emb_outliers": _q_emb_outliers,
+        "corpus_vocab_growth": _q_corpus_vocab_growth,
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
@@ -3185,6 +3194,22 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN r USING (source)
         WHERE ((d.doc_id % {corpus.MIX_P}) * {corpus.MIX_A} + {corpus.MIX_B})
                 % {corpus.MIX_P} < r.rate * {corpus.MIX_P}"""
+    sql["corpus_vocab_growth"] = """
+        WITH toks AS (
+          SELECT doc_id, t AS tok
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t <> ''),
+        first AS (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok),
+        news AS (SELECT doc_id, count(*) AS n_new_tokens FROM first GROUP BY doc_id),
+        alldocs AS (SELECT DISTINCT doc_id FROM documents),
+        nd AS (SELECT a.doc_id, coalesce(n.n_new_tokens, 0) AS n_new_tokens
+               FROM alldocs a LEFT JOIN news n USING (doc_id))
+        SELECT doc_id, CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+               CAST(sum(n_new_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS vocab_size
+        FROM nd"""
     sql["corpus_containment"] = """
         WITH g AS (
           SELECT DISTINCT doc_id,

@@ -526,3 +526,57 @@ def weighted_sample_topk(
         F.round("_key", 9).alias("samp_key"),
         "rank",
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): per doc in id order, how many
+    tokens appear for the FIRST time in that doc and the cumulative
+    vocabulary size so far — the diminishing-returns read for corpus
+    collection (when new data stops adding new vocabulary).
+
+    (doc_id, n_new_tokens, vocab_size).  Scale: "first time" is min(doc_id)
+    per token — one partial agg, no sequential scan.  The running total is
+    a TWO-LEVEL cumulative sum: docs bucket by id range, the intra-bucket
+    prefix sum is a window partitioned by bucket (parallel), and bucket
+    offsets come from a window over the bucket AGGREGATE (n_buckets rows =
+    corpus_size / bucket_width — the only unpartitioned window in the plan
+    runs over that tiny table, never the doc rows; the naive
+    Window.orderBy(doc) would move every doc to one partition)."""
+    toks = _doc_tokens(df, text, id_col)
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    news = first.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    nd = (
+        docs.join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_new_tokens"), F.lit(0)).cast("long").alias("n_new_tokens"),
+            F.floor(F.col("doc_id") / bucket_width).alias("_b"),
+        )
+        .localCheckpoint(eager=True)  # 2 consumers: bucket sums + final join
+    )
+    bsums = nd.groupBy("_b").agg(F.sum("n_new_tokens").alias("_bs"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsums.select(
+        "_b", F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_intra = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        nd.join(F.broadcast(boff), "_b")
+        .select(
+            "doc_id",
+            "n_new_tokens",
+            (F.sum("n_new_tokens").over(w_intra) + F.col("_off"))
+            .cast("long")
+            .alias("vocab_size"),
+        )
+    )

@@ -103,6 +103,10 @@ def test_bounded_shuffle_budgets(spark):
         # (label, dim) centroid agg + keyed join + (vec, label) agg +
         # per-label top-k window over the per-vector aggregate
         "emb_outliers": 6,
+        # first-occurrence agg + news agg + bucket agg + intra window over
+        # the checkpointed doc table; the lone SinglePartition window runs
+        # over the n_buckets-row aggregate only
+        "corpus_vocab_growth": 4,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
