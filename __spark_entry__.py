@@ -1822,6 +1822,37 @@ def _q_w11_week_over_week(spark, sf):
     )
 
 
+def _q_w12_time_to_convert(spark, sf):
+    """Conversion latency: per user, the first 'view' and the first
+    'purchase' AT OR AFTER it, with the gap in whole seconds — the
+    time-to-convert distribution input (w5_funnel's ordered-step rule,
+    reduced to the first qualifying pair).  One partial agg for first
+    views, one conditional agg for the earliest post-view purchase after a
+    keyed join — never a per-event window over raw history."""
+    e = graft.load(spark, sf, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return (
+        p.join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            (
+                F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("first_view").cast("timestamp"))
+            ).alias("convert_us"),
+        )
+    )
+
+
 def _q_corpus_vocab_growth(spark, sf):
     """Heaps-law vocabulary-growth curve (operators/corpus.py:vocab_growth):
     first-occurrence counting via min(doc_id) per token + a two-level
@@ -1912,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_week_over_week": _q_w11_week_over_week,
         "emb_outliers": _q_emb_outliers,
         "corpus_vocab_growth": _q_corpus_vocab_growth,
+        "w12_time_to_convert": _q_w12_time_to_convert,
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
         "corpus_length_hist": _q_corpus_length_hist,
@@ -2988,6 +3020,16 @@ def oracle_sql() -> dict[str, str]:
 
     # same gap-sessionized spans as t5; the sweep SQL is generated next to
     # the operator so the day clip and tie rule stay in lockstep
+    sql["w12_time_to_convert"] = """
+        WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        fp AS (SELECT p.user_id, fv.first_view, min(p.ts) AS first_purchase
+               FROM events p JOIN fv ON fv.user_id = p.user_id
+               WHERE p.event_type = 'purchase' AND p.ts >= fv.first_view
+               GROUP BY p.user_id, fv.first_view)
+        SELECT user_id, first_view, first_purchase,
+               epoch_us(first_purchase) - epoch_us(first_view) AS convert_us
+        FROM fp"""
     sql["w11_week_over_week"] = """
         WITH a AS (
           SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,

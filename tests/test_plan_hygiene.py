@@ -107,6 +107,8 @@ def test_bounded_shuffle_budgets(spark):
         # the checkpointed doc table; the lone SinglePartition window runs
         # over the n_buckets-row aggregate only
         "corpus_vocab_growth": 4,
+        # first-view agg + keyed join + first-purchase conditional agg
+        "w12_time_to_convert": 3,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
