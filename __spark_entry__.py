@@ -965,6 +965,59 @@ def _q_a8_rollup(spark, sf):
     )
 
 
+def _q_a10_approx_distinct(spark, sf):
+    """HLL++ approximate distinct (the 100 TB scale path for cardinality:
+    fixed 2^p-register state per group vs an O(distinct) exact set) checked
+    against its own error contract.  The sketch value itself is
+    engine-specific and cannot value-match DuckDB, so the contract row
+    carries (a) the EXACT distinct count, value-checked, and (b) a boolean
+    asserting the HLL estimate landed within 5 sigma of its configured
+    rsd=2% — deterministic because HLL registers merge by max (associative,
+    commutative), so the estimate is partitioning-independent."""
+    e = graft.load(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_hll"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_hll") - F.col("n_exact"))
+                <= F.greatest(F.lit(1.0), F.col("n_exact") * 0.10)
+            ).alias("hll_ok"),
+        )
+    )
+
+
+def _q_a11_approx_quantile(spark, sf):
+    """Greenwald-Khanna quantile sketch (percentile_approx) checked against
+    its rank-error contract.  accuracy=10000 bounds rank error at 1e-4; the
+    boolean asserts the sketch's p50 lies between the EXACT 0.49 and 0.51
+    percentiles (100x the guaranteed bound), which holds under ANY merge
+    order of the sketch, so the row is partitioning-independent.  The exact
+    interpolated p50 is the value-checked column (same pattern as a7)."""
+    e = graft.load(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+            F.expr("percentile_approx(value, 0.5, 10000)").alias("p50_gk"),
+            F.expr("percentile(value, 0.49)").alias("_lo"),
+            F.expr("percentile(value, 0.51)").alias("_hi"),
+        )
+        .select(
+            "event_type",
+            "p50_exact",
+            ((F.col("p50_gk") >= F.col("_lo")) & (F.col("p50_gk") <= F.col("_hi"))).alias(
+                "gk_ok"
+            ),
+        )
+    )
+
+
 def _q_g2_components(spark, sf):
     """Distributed connected components (driver kernel disabled) over the
     DAG with part edges thinned to obj % 23 == 0 — a multi-component graph
@@ -1935,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
         # --- new in round 4 (never driver-checked) -------------------------
+        "a10_approx_distinct": _q_a10_approx_distinct,
+        "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
         "g11_edge_lift": _q_g11_edge_lift,
         "corpus_containment": _q_corpus_containment,
@@ -2982,6 +3037,16 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.5), 6) AS p50,
                round(quantile_cont(value, 0.9), 6) AS p90,
                round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type"""
+    # a10/a11: the sketch estimates are engine-specific, so the oracle pins
+    # the EXACT columns and the literal truth of the error-contract boolean
+    # (the Spark side computes the bound for real; see the query docstrings)
+    sql["a10_approx_distinct"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+        FROM events GROUP BY event_type"""
+    sql["a11_approx_quantile"] = """
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+               TRUE AS gk_ok
         FROM events GROUP BY event_type"""
     sql["a8_rollup"] = """
         SELECT event_type, count(*) AS n,
