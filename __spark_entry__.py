@@ -444,7 +444,7 @@ def _q_emb_quantize(spark, sf):
 _KG_MEMO: dict[tuple, tuple] = {}
 
 
-def _kg_flagship(spark, sf, tau=0.95):
+def _kg_flagship(spark, sf, tau=0.95, substrate="base"):
     """ONE flagship build shared by the kg_* analytics queries.
 
     kg_entity_degrees / kg_path2 / kg_triple_support / kg_entities are all
@@ -458,13 +458,14 @@ def _kg_flagship(spark, sf, tau=0.95):
 
     Returns (entities, named_triples), both eagerly localCheckpointed so the
     four consumers pay the build exactly once per gate/bench session."""
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf), tau)
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf), tau, substrate)
     hit = _KG_MEMO.get(key)
     if hit is not None:
         return hit
     for k in [k for k in _KG_MEMO if k[0] != key[0]]:
         del _KG_MEMO[k]
-    res = run_pipeline(graft.kg_transcripts(spark, sf), tau=tau)
+    make = graft.kg_transcripts_varied if substrate == "varied" else graft.kg_transcripts
+    res = run_pipeline(make(spark, sf), tau=tau)
     out = (
         res.entities.localCheckpoint(eager=True),
         triples_with_names(res).localCheckpoint(eager=True),
@@ -1976,6 +1977,166 @@ def _q_w10_zscore_outliers(spark, sf):
     )
 
 
+def _q_kg_sym_preds(spark, sf):
+    """Predicate symmetry scoring over a built KG: for each predicate, the
+    share of distinct triples whose exact reverse (obj, pred, subj) is also
+    asserted — the schema-curation signal that separates inherently
+    symmetric relations ('met') from directed ones ('works_at') before
+    choosing which edges to mirror in the graph store.  Runs on the VARIED
+    substrate (graft.kg_transcripts_varied) where 'met' is symmetric for
+    roughly the half of its edges that got an explicit reverse turn; the
+    functional flagship substrate would score 0 everywhere.  One distinct
+    projection + a self left-semi join on the (name, pred, name) key + two
+    partial-agg groupBys — the self-join shuffles the distinct TRIPLE set
+    (orders of magnitude below mention scale), keyed by the same columns it
+    joins on, so at 100 TB both sides co-partition."""
+    _, named = _kg_flagship(spark, sf, substrate="varied")
+    d = named.select("subj_name", "pred", "obj_name").distinct()
+    rev = d.select(
+        F.col("obj_name").alias("subj_name"),
+        "pred",
+        F.col("subj_name").alias("obj_name"),
+    )
+    sym = d.join(rev, ["subj_name", "pred", "obj_name"], "left_semi")
+    n_all = d.groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples"))
+    n_sym = sym.groupBy("pred").agg(F.count(F.lit(1)).alias("n_sym"))
+    return n_all.join(n_sym, "pred", "left").select(
+        "pred",
+        "n_triples",
+        F.coalesce(F.col("n_sym"), F.lit(0)).alias("n_sym"),
+        F.round(
+            F.coalesce(F.col("n_sym"), F.lit(0)).cast("double") / F.col("n_triples"),
+            6,
+        ).alias("sym_ratio"),
+    )
+
+
+def _q_kg_current_facts(spark, sf):
+    """Latest-wins conflict resolution: the current-snapshot read over a
+    temporally-scoped KG.  Per (subject, predicate), keep the object whose
+    LAST mention is most recent (tie -> lexicographically greatest object —
+    a total, engine-portable rule), plus how many alternatives were
+    discarded — the step that turns kg_conflicts' contradiction list into a
+    servable fact table.  Runs on the varied substrate where 'visited' is
+    genuinely multi-valued.  Provenance re-attaches wall-clock by the same
+    (conv_id, turn_idx) join as kg_fact_recency; the argmax is one window
+    over the (subj, pred, obj)-grouped fact table, never over raw
+    mentions."""
+    _, named = _kg_flagship(spark, sf, substrate="varied")
+    t = graft.kg_transcripts_varied(spark, sf).select("conv_id", "turn_idx", "ts")
+    facts = (
+        named.join(t, ["conv_id", "turn_idx"])
+        .groupBy("subj_name", "pred", "obj_name")
+        .agg(F.max("ts").alias("last_seen"))
+    )
+    w = Window.partitionBy("subj_name", "pred").orderBy(
+        F.col("last_seen").desc(), F.col("obj_name").desc()
+    )
+    return (
+        facts.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_alternatives",
+            F.count(F.lit(1)).over(Window.partitionBy("subj_name", "pred")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "subj_name",
+            "pred",
+            F.col("obj_name").alias("obj_current"),
+            "last_seen",
+            "n_alternatives",
+        )
+    )
+
+
+def _q_w13_rolling_active(spark, sf):
+    """7-day rolling distinct active users per day — the DAU/WAU-style
+    engagement read.  Distinct-over-sliding-window is inexpressible as a
+    Spark window function (no DISTINCT aggregates over frames), so the
+    scale path is the explode rewrite: each distinct (user, day) pair is
+    fanned out to the <=7 window-end days it covers (constant 7x row
+    amplification of the ALREADY-distinct pair set, not of raw events),
+    then one partial-agg count-distinct keyed by window day.  No global
+    sort, no per-event window, no self-join — the oracle runs the naive
+    range join instead.  The day dimension (~tens of rows) broadcasts."""
+    e = graft.load(spark, sf, "events")
+    pairs = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = pairs.select(F.col("day").alias("win_day")).distinct()
+    cov = pairs.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("win_day"),
+    )
+    return (
+        cov.join(F.broadcast(days), "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("win_day").alias("day"), "active_7d")
+    )
+
+
+def _q_a12_cube(spark, sf):
+    """CUBE aggregate over (event_type, day-of-week): all four grouping
+    sets (full, per-type, per-dow, grand total) in ONE pass — Catalyst's
+    native grouping-sets expansion (the rollup complement, a8).  dow is
+    0=Sunday..6=Saturday on both engines (Spark dayofweek()-1 == DuckDB
+    date_part('dow')); sums are exact decimal cast to double, so every
+    subtotal is identical under any partitioning."""
+    e = graft.load(spark, sf, "events")
+    d = e.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return d.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+
+
+def _q_w14_rfm(spark, sf):
+    """RFM segmentation over orders: per customer recency (days since last
+    order, vs the corpus max date), frequency (order count), monetary
+    (exact decimal revenue), each scored into fixed 1-3 bands — the
+    classic customer-value cut.  One partial-agg groupBy keyed by
+    customer; the 1-row reference date broadcasts (never a driver
+    collect); fixed thresholds keep every band edge engine-portable
+    (day diffs and counts are exact ints, monetary is an exact decimal
+    sum cast once to double)."""
+    o = graft.load(spark, sf, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_day"))
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = per.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("ref_day", "last_day").cast("long")
+    )
+    return r.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= 365, 3)
+        .when(F.col("recency_days") <= 730, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("r_score"),
+        F.when(F.col("frequency") >= 15, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("f_score"),
+        F.when(F.col("monetary") >= 2000000.0, 3)
+        .when(F.col("monetary") >= 1000000.0, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
@@ -1988,6 +2149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
         # --- new in round 4 (never driver-checked) -------------------------
+        "w13_rolling_active": _q_w13_rolling_active,
+        "a12_cube": _q_a12_cube,
+        "w14_rfm": _q_w14_rfm,
+        "kg_sym_preds": _q_kg_sym_preds,
+        "kg_current_facts": _q_kg_current_facts,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -2716,6 +2882,94 @@ def oracle_sql() -> dict[str, str]:
                               CAST(max(tt.ts) AS DATE)) AS BIGINT) AS span_days
         FROM kg JOIN tt USING (conv_id, turn_idx)
         GROUP BY kg.subj_name, kg.pred, kg.obj_name"""
+    # Varied-substrate KG (graft.kg_transcripts_varied): the same gram-set
+    # canonicalization CTE as the flagship oracle (identical surface
+    # vocabulary, so the tau=0.95 LSH == exact-gramset argument carries
+    # over verbatim), over the richer turn derivation with non-functional
+    # 'visited' and partially-symmetric 'met'.
+    _vnorm_s = NORM_SQL.format(col="subj_surface")
+    _vnorm_o = NORM_SQL.format(col="obj_surface")
+    kg_varied = f"""
+        WITH dims AS (SELECT count(*) AS ncust FROM customer),
+        b AS (SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                     o.o_orderkey, o.o_orderdate, n.n_name
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        raw AS (
+          SELECT b.c_custkey, b.o_orderdate, b.o_orderkey, 0 AS rev,
+                 b.c_name AS subj_surface,
+                 CASE WHEN b.o_orderkey % 2 = 0 THEN 'works_at'
+                      ELSE 'visited' END AS pred,
+                 CASE WHEN b.o_orderkey % 2 = 0 THEN b.n_name
+                      ELSE nv.n_name END AS obj_surface
+          FROM b JOIN nation nv
+            ON nv.n_nationkey = (b.c_nationkey + (b.o_orderkey % 3) * 7) % 25
+          UNION ALL
+          SELECT b.c_custkey, b.o_orderdate, b.o_orderkey, 1,
+                 b.c_name, 'met', cb.c_name
+          FROM b CROSS JOIN dims
+          JOIN customer cb
+            ON cb.c_custkey = (b.c_custkey + b.o_orderkey) % dims.ncust
+          WHERE b.o_orderkey % 5 = 0 AND cb.c_custkey <> b.c_custkey
+          UNION ALL
+          SELECT b.c_custkey, b.o_orderdate, b.o_orderkey, 2,
+                 cb.c_name, 'met', b.c_name
+          FROM b CROSS JOIN dims
+          JOIN customer cb
+            ON cb.c_custkey = (b.c_custkey + b.o_orderkey) % dims.ncust
+          WHERE b.o_orderkey % 10 = 0 AND cb.c_custkey <> b.c_custkey),
+        t AS (
+          SELECT 'conv-' || CAST(c_custkey AS VARCHAR) AS conv_id,
+                 CAST(row_number() OVER (PARTITION BY c_custkey
+                        ORDER BY o_orderdate, o_orderkey, rev) - 1 AS INT)
+                   AS turn_idx,
+                 CAST(o_orderdate AS TIMESTAMP) AS ts,
+                 {_vnorm_s} AS subj_norm, pred, {_vnorm_o} AS obj_norm
+          FROM raw),
+        norms AS (
+          SELECT DISTINCT subj_norm AS norm FROM t
+          UNION SELECT DISTINCT obj_norm FROM t),
+        fp AS (
+          SELECT norm, string_agg(DISTINCT g, '|' ORDER BY g) AS gramset
+          FROM (SELECT norm, substr(norm, i, 3) AS g
+                FROM norms, (SELECT unnest(range(1, (SELECT CAST(max(length(norm)) AS BIGINT) + 1 FROM norms))) AS i)
+                WHERE i <= length(norm) - 2)
+          GROUP BY norm),
+        canon AS (SELECT norm, min(norm) OVER (PARTITION BY gramset) AS cname
+                  FROM fp)
+        SELECT t.conv_id, t.turn_idx, t.ts,
+               cs.cname AS subj_name, t.pred, co.cname AS obj_name
+        FROM t
+        JOIN canon cs ON cs.norm = t.subj_norm
+        JOIN canon co ON co.norm = t.obj_norm"""
+    sql["kg_sym_preds"] = f"""
+        WITH kg AS ({kg_varied}),
+        d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg),
+        a AS (SELECT pred, count(*) AS n_triples FROM d GROUP BY pred),
+        s AS (SELECT d.pred, count(*) AS n_sym FROM d
+              WHERE EXISTS (SELECT 1 FROM d d2
+                            WHERE d2.subj_name = d.obj_name
+                              AND d2.pred = d.pred
+                              AND d2.obj_name = d.subj_name)
+              GROUP BY d.pred)
+        SELECT a.pred, a.n_triples, coalesce(s.n_sym, 0) AS n_sym,
+               round(CAST(coalesce(s.n_sym, 0) AS DOUBLE) / a.n_triples, 6)
+                 AS sym_ratio
+        FROM a LEFT JOIN s ON s.pred = a.pred"""
+    sql["kg_current_facts"] = f"""
+        WITH kg AS ({kg_varied}),
+        facts AS (SELECT subj_name, pred, obj_name, max(ts) AS last_seen
+                  FROM kg GROUP BY subj_name, pred, obj_name),
+        r AS (SELECT subj_name, pred, obj_name, last_seen,
+                     row_number() OVER (PARTITION BY subj_name, pred
+                       ORDER BY last_seen DESC, obj_name DESC) AS rn,
+                     count(*) OVER (PARTITION BY subj_name, pred)
+                       AS n_alternatives
+              FROM facts)
+        SELECT subj_name, pred, obj_name AS obj_current, last_seen,
+               n_alternatives
+        FROM r WHERE rn = 1"""
     # implicit-schema induction: the SAME canonicalized triple set and the
     # SAME kind-rule entity table, joined and aggregated by triple pattern
     sql["kg_schema_induce"] = f"""
@@ -3041,6 +3295,46 @@ def oracle_sql() -> dict[str, str]:
     # a10/a11: the sketch estimates are engine-specific, so the oracle pins
     # the EXACT columns and the literal truth of the error-contract boolean
     # (the Spark side computes the bound for real; see the query docstrings)
+    # w13's oracle is the NAIVE day-range join (the definition); the engine
+    # runs the explode rewrite over the distinct pair set instead
+    sql["w13_rolling_active"] = """
+        WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+        days AS (SELECT DISTINCT day FROM pairs)
+        SELECT d.day, count(DISTINCT p.user_id) AS active_7d
+        FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day"""
+    sql["a12_cube"] = """
+        SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY CUBE(event_type, CAST(date_part('dow', ts) AS INT))"""
+    sql["w14_rfm"] = """
+        WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day
+                     FROM orders),
+        per AS (
+          SELECT o_custkey AS custkey,
+                 max(CAST(o_orderdate AS DATE)) AS last_day,
+                 count(*) AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+          FROM orders GROUP BY o_custkey)
+        SELECT custkey,
+               CAST(date_diff('day', last_day, ref.ref_day) AS BIGINT)
+                 AS recency_days,
+               frequency, monetary,
+               CAST(CASE WHEN date_diff('day', last_day, ref.ref_day) <= 365
+                         THEN 3
+                         WHEN date_diff('day', last_day, ref.ref_day) <= 730
+                         THEN 2 ELSE 1 END AS INT) AS r_score,
+               CAST(CASE WHEN frequency >= 15 THEN 3
+                         WHEN frequency >= 8 THEN 2 ELSE 1 END AS INT)
+                 AS f_score,
+               CAST(CASE WHEN monetary >= 2000000.0 THEN 3
+                         WHEN monetary >= 1000000.0 THEN 2 ELSE 1 END AS INT)
+                 AS m_score
+        FROM per, ref"""
     sql["a10_approx_distinct"] = """
         SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
         FROM events GROUP BY event_type"""

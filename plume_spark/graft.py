@@ -100,6 +100,87 @@ def kg_transcripts_scaled(spark: SparkSession, sf_dir: str, k: int) -> DataFrame
     )
 
 
+def kg_transcripts_varied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kg_transcripts with NON-functional predicates and partial symmetry —
+    the substrate for the KG-curation analytics that are vacuous on the
+    functional flagship substrate (conflict resolution, symmetry scoring):
+
+    * even orders: ``<cust> works at <own nation>``   (stays functional);
+    * odd orders:  ``<cust> visited <nation (c_nationkey + 7*(okey%3)) % 25>``
+      — up to three DISTINCT visited nations per customer, so (subj,
+      'visited') genuinely conflicts and latest-wins resolution has signal;
+    * every 5th order adds ``<cust> met <peer>`` with
+      peer = (c_custkey + o_orderkey) % |customer| (self-pairs dropped);
+      every 10th order ALSO adds the reverse ``<peer> met <cust>`` turn in
+      the same conversation — so 'met' is symmetric for roughly half its
+      edges and asymmetric for the rest (sym_ratio strictly in (0,1)).
+
+    Surface vocabulary is IDENTICAL to kg_transcripts (same customers, same
+    nations), so the LSH/CC canonicalization behaves exactly as the
+    flagship's oracle-verified mapping.  Turn order is the total key
+    (o_orderdate, o_orderkey, rev); all derivations are pure column
+    arithmetic, so the DuckDB oracle rebuilds the same turns exactly."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    ncust = c.agg(F.count(F.lit(1)).alias("ncust"))
+    base = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "c_name", "c_nationkey", "o_orderkey", "o_orderdate", "n_name")
+    )
+    nv = n.select(
+        F.col("n_nationkey").alias("v_nationkey"), F.col("n_name").alias("v_name")
+    )
+    vkey = (F.col("c_nationkey") + (F.col("o_orderkey") % 3) * 7) % 25
+    stmts = base.join(F.broadcast(nv), vkey == F.col("v_nationkey")).select(
+        "c_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.lit(0).alias("rev"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(F.col("c_name"), F.lit(" works at "), F.col("n_name")),
+        )
+        .otherwise(F.concat(F.col("c_name"), F.lit(" visited "), F.col("v_name")))
+        .alias("text"),
+    )
+    cb = c.select(F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"))
+    met = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .crossJoin(F.broadcast(ncust))
+        .withColumn("b_key", (F.col("c_custkey") + F.col("o_orderkey")) % F.col("ncust"))
+        .filter(F.col("b_key") != F.col("c_custkey"))
+        .join(F.broadcast(cb), "b_key")
+    )
+    fwd = met.select(
+        "c_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.lit(1).alias("rev"),
+        F.concat(F.col("c_name"), F.lit(" met "), F.col("b_name")).alias("text"),
+    )
+    back = met.filter(F.col("o_orderkey") % 10 == 0).select(
+        "c_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.lit(2).alias("rev"),
+        F.concat(F.col("b_name"), F.lit(" met "), F.col("c_name")).alias("text"),
+    )
+    u = stmts.unionByName(fwd).unionByName(back)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc(), F.col("rev").asc()
+    )
+    return u.select(
+        F.concat(F.lit("conv-"), F.col("c_custkey").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+
+
 def dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-level DAG over disjoint id namespaces: customer -> order -> part.
     The substrate for the traversal/read-benchmark operators (J6/J7/P7)."""
