@@ -2049,6 +2049,101 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+def _q_g12_hits(spark, sf):
+    """HITS hubs/authorities over the 3-level customer->order->part DAG
+    (operators/pagerank.py:hits) — the second fixed-iteration spectral-style
+    ranking beside PageRank; unnormalized iterations keep every
+    intermediate score integer-exact, so the only float op is the final
+    max-division (see the operator docstring)."""
+    from plume_spark.operators.pagerank import hits
+
+    return hits(graft.dag_edges(spark, sf), n_iters=2)
+
+
+def _q_kg_degree_hist(spark, sf):
+    """Power-of-two degree histogram over the built KG's distinct edge set
+    — the skew diagnostic read BEFORE choosing salting/broadcast strategy
+    for entity-graph analytics (the north rule's hot-entity case: a fat
+    top bucket says the join needs skew handling).  Exact integer
+    bit-length buckets (corpus_length_hist's engine-portable edge rule)
+    over one union-all + two partial-agg groupBys; the share window runs
+    over the <=64-row bucket aggregate, never the entity table."""
+    _, named = _kg_flagship(spark, sf)
+    d = named.select("subj_name", "pred", "obj_name").distinct()
+    ends = d.select(F.col("subj_name").alias("name")).unionByName(
+        d.select(F.col("obj_name").alias("name"))
+    )
+    deg = ends.groupBy("name").agg(F.count(F.lit(1)).alias("deg"))
+    agg = deg.groupBy(
+        F.length(F.bin(F.col("deg"))).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_entities"), F.sum("deg").alias("total_deg"))
+    w = Window.partitionBy()
+    return agg.select(
+        "bucket",
+        "n_entities",
+        "total_deg",
+        F.round(F.col("n_entities") / F.sum("n_entities").over(w), 6).alias("share"),
+    )
+
+
+def _q_corpus_ccnet_cut(spark, sf):
+    """CCNet-style adaptive quality cut: bucket documents into head/middle/
+    tail by the QUARTILES of their own unigram log-likelihood distribution
+    (corpus_quality_tiers uses fixed thresholds; real corpus pipelines cut
+    at data-dependent percentiles recomputed per snapshot).  Knife-edge
+    safety is by construction: the per-doc score is the already-6dp-rounded
+    avg_logprob (oracle-verified value-identical cross-engine) and the cut
+    points are interpolated percentiles at p=0.25/0.75 — exact binary
+    fractions, so both engines interpolate identical doubles and every
+    boundary comparison agrees.  One extra 1-row broadcast + one partial
+    agg on top of the logprob table."""
+    lp = corpus.unigram_logprob(graft.load(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+    thr = lp.agg(
+        F.expr("percentile(avg_logprob, 0.25)").alias("p25"),
+        F.expr("percentile(avg_logprob, 0.75)").alias("p75"),
+    )
+    b = lp.crossJoin(F.broadcast(thr)).withColumn(
+        "bucket",
+        F.when(F.col("avg_logprob") <= F.col("p25"), F.lit("tail"))
+        .when(F.col("avg_logprob") > F.col("p75"), F.lit("head"))
+        .otherwise(F.lit("middle")),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.round(
+            F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_logprob"),
+    )
+
+
+def _q_w15_interarrival(spark, sf):
+    """Inter-arrival-gap distribution per event type: for each event, the
+    microsecond gap to the SAME user's previous event (any type), then the
+    exact interpolated p50/p90 of those gaps grouped by the arriving
+    event's type — the traffic-burstiness read behind rate-limit and
+    session-timeout tuning.  One (user) window shuffle for the lag, one
+    sort-based percentile aggregate keyed by type."""
+    e = graft.load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_us"),
+    )
+
+
 def _q_w13_rolling_active(spark, sf):
     """7-day rolling distinct active users per day — the DAU/WAU-style
     engagement read.  Distinct-over-sliding-window is inexpressible as a
@@ -2154,6 +2249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_rfm": _q_w14_rfm,
         "kg_sym_preds": _q_kg_sym_preds,
         "kg_current_facts": _q_kg_current_facts,
+        "g12_hits": _q_g12_hits,
+        "kg_degree_hist": _q_kg_degree_hist,
+        "corpus_ccnet_cut": _q_corpus_ccnet_cut,
+        "w15_interarrival": _q_w15_interarrival,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -2943,6 +3042,30 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         JOIN canon cs ON cs.norm = t.subj_norm
         JOIN canon co ON co.norm = t.obj_norm"""
+    sql["kg_degree_hist"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg),
+        ends AS (SELECT subj_name AS name FROM d
+                 UNION ALL SELECT obj_name FROM d),
+        deg AS (SELECT name, count(*) AS deg FROM ends GROUP BY name),
+        g AS (SELECT CAST(length(bin(CAST(deg AS INT))) AS INT) AS bucket,
+                     count(*) AS n_entities, CAST(sum(deg) AS BIGINT) AS total_deg
+              FROM deg GROUP BY 1)
+        SELECT bucket, n_entities, total_deg,
+               CAST(round(n_entities * 1.0 / sum(n_entities) OVER (), 6)
+                    AS DOUBLE) AS share
+        FROM g"""
+    sql["w15_interarrival"] = """
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS gap_us
+          FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+               round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+               round(quantile_cont(gap_us, 0.9), 6) AS p90_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""
     sql["kg_sym_preds"] = f"""
         WITH kg AS ({kg_varied}),
         d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg),
@@ -3188,6 +3311,14 @@ def oracle_sql() -> dict[str, str]:
            UNION ALL
            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem"""
     )
+    from plume_spark.operators.pagerank import hits_oracle_sql
+
+    sql["g12_hits"] = hits_oracle_sql(
+        """SELECT o_custkey AS subj, 1000000 + o_orderkey AS obj FROM orders
+           UNION ALL
+           SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem""",
+        n_iters=2,
+    )
     sql["corpus_repetition"] = """
         WITH t AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -3213,6 +3344,20 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n_tok / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
         FROM tk JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["corpus_ccnet_cut"] = f"""
+        WITH lp AS ({sql['corpus_unigram_logprob']}),
+        thr AS (SELECT quantile_cont(avg_logprob, 0.25) AS p25,
+                       quantile_cont(avg_logprob, 0.75) AS p75 FROM lp),
+        b AS (SELECT lp.n_tokens, lp.avg_logprob,
+                     CASE WHEN avg_logprob <= p25 THEN 'tail'
+                          WHEN avg_logprob > p75 THEN 'head'
+                          ELSE 'middle' END AS bucket
+              FROM lp, thr)
+        SELECT bucket, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+               round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_logprob
+        FROM b GROUP BY bucket"""
     sql["corpus_quality_tiers"] = f"""
         WITH lp AS ({sql['corpus_unigram_logprob']})
         SELECT CASE WHEN avg_logprob > -3.401 THEN 'head'

@@ -68,6 +68,102 @@ def pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    n_iters: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """HITS hubs/authorities after ``n_iters`` synchronous unnormalized
+    iterations (a <- E^T h; h <- E a), normalized ONCE at the end by the
+    max of each score — (node, hub_score, auth_score), rounded to 6dp.
+
+    Skipping per-iteration normalization is the determinism trick: from the
+    all-ones start every intermediate score is an integer-valued double
+    (sums of integers are exact in binary64 far below 2^53), so the only
+    float operation in the whole computation is the final division by the
+    max — identical on every engine and under every partitioning.  The
+    scale shape matches pagerank(): one map-side-combinable SUM shuffle per
+    half-iteration, node-sized score tables joined against the (far larger,
+    src/dst-hash-partitioned) edge list, localCheckpoint lineage
+    truncation."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.withColumn("h", F.lit(1.0))
+    a = None
+    for i in range(n_iters):
+        contrib_a = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("s"))
+        )
+        a = nodes.join(contrib_a, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("a")
+        )
+        contrib_h = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("s"))
+        )
+        h = nodes.join(contrib_h, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("h")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iters:
+            h = h.localCheckpoint(eager=True)
+            a = a.localCheckpoint(eager=True)
+    m = h.agg(F.max("h").alias("mh")).crossJoin(a.agg(F.max("a").alias("ma")))
+    return (
+        h.join(a, "node")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            F.round(F.col("h") / F.col("mh"), 6).alias("hub_score"),
+            F.round(F.col("a") / F.col("ma"), 6).alias("auth_score"),
+        )
+    )
+
+
+def hits_oracle_sql(edges_sql: str, n_iters: int = 2) -> str:
+    """The exact computation above as unrolled SQL CTEs (DuckDB-runnable);
+    ``edges_sql`` must select (subj, obj).  Kept next to the operator so the
+    iteration count can never drift between engines."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        # CAST keeps the whole chain in binary64 (a bare 1.0 literal is
+        # DECIMAL in DuckDB; the final division must be double/double to
+        # match Spark bit-for-bit before the 6dp round)
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"a{i + 1} AS (SELECT n.node, COALESCE(SUM(h{i}.h), 0) AS a "
+            f"FROM nodes n LEFT JOIN e ON e.dst = n.node "
+            f"LEFT JOIN h{i} ON h{i}.node = e.src GROUP BY n.node)"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT n.node, COALESCE(SUM(a{i + 1}.a), 0) AS h "
+            f"FROM nodes n LEFT JOIN e ON e.src = n.node "
+            f"LEFT JOIN a{i + 1} ON a{i + 1}.node = e.dst GROUP BY n.node)"
+        )
+    k = n_iters
+    return (
+        ", ".join(parts)
+        + f""" SELECT h{k}.node,
+               CAST(round(h{k}.h / (SELECT max(h) FROM h{k}), 6) AS DOUBLE)
+                 AS hub_score,
+               CAST(round(a{k}.a / (SELECT max(a) FROM a{k}), 6) AS DOUBLE)
+                 AS auth_score
+        FROM h{k} JOIN a{k} ON a{k}.node = h{k}.node"""
+    )
+
+
 def pagerank_oracle_sql(edges_sql: str, n_iters: int = 3, damping: float = 0.85) -> str:
     """The exact computation above as unrolled SQL CTEs (DuckDB-runnable):
     ``edges_sql`` must select columns (subj, obj).  Kept next to the operator
