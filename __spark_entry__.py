@@ -2049,6 +2049,75 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+def _q_corpus_decon_fuzzy(spark, sf):
+    """Fuzzy benchmark decontamination: near-duplicate links BETWEEN the
+    training split and the held-out split (doc_id % EVAL_MOD == 0 plays the
+    eval suite), via the full MinHash/LSH + exact-Jaccard-verify path — the
+    paraphrase-contamination complement of corpus_decon_overlap's exact
+    5-gram rule.  Pure post-filter over the oracle-matched dedup pair set
+    (cross-split xor), so banding, bucket caps, and verification are the
+    single battle-tested implementation — zero new pair-generation code
+    paths to diverge at scale."""
+    d = graft.load(spark, sf, "documents")
+    pairs = dedup.minhash_dedup(d, portable_ids=True)
+    ev_a = (F.col("doc_a") % corpus.EVAL_MOD) == 0
+    ev_b = (F.col("doc_b") % corpus.EVAL_MOD) == 0
+    return pairs.filter(ev_a != ev_b).select(
+        F.when(ev_b, F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+        F.when(ev_b, F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def _q_corpus_gopher_rules(spark, sf):
+    """Gopher-style rule-based quality filter: per document, token count,
+    mean word length, and stopword fraction, each checked against fixed
+    thresholds, with a named reason list for every failed rule — the
+    auditable deterministic pre-filter run before any model-based scoring
+    (and the operator a 100 TB curation pipeline runs FIRST, because it is
+    a zero-shuffle pure projection: list ops on the split-token array,
+    whole-stage codegen, no explode).  All three signals are exact-integer
+    ratios divided once in binary64, so thresholds compare identically on
+    every engine."""
+    d = graft.load(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(toks)
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "to", "and"))
+    )
+    r = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (sum_chars.cast("double") / n).alias("_mwl"),
+        (n_stop.cast("double") / n).alias("_sf"),
+    )
+    ok_len = F.col("n_tokens") >= 20
+    ok_mwl = (F.col("_mwl") >= 4.0) & (F.col("_mwl") <= 5.0)
+    ok_stop = F.col("_sf") >= 0.03
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(~ok_len, F.lit("short")),
+                F.when(~ok_mwl, F.lit("wordlen")),
+                F.when(~ok_stop, F.lit("stopwords")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_mwl", 6).alias("mean_word_len"),
+        F.round("_sf", 6).alias("stop_frac"),
+        (ok_len & ok_mwl & ok_stop).alias("passed"),
+        reasons.alias("fail_reasons"),
+    )
+
+
 def _q_g12_hits(spark, sf):
     """HITS hubs/authorities over the 3-level customer->order->part DAG
     (operators/pagerank.py:hits) — the second fixed-iteration spectral-style
@@ -2253,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_hist": _q_kg_degree_hist,
         "corpus_ccnet_cut": _q_corpus_ccnet_cut,
         "w15_interarrival": _q_w15_interarrival,
+        "corpus_decon_fuzzy": _q_corpus_decon_fuzzy,
+        "corpus_gopher_rules": _q_corpus_gopher_rules,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -2591,6 +2662,46 @@ def oracle_sql() -> dict[str, str]:
                     ELSE count(*) OVER (PARTITION BY text) END AS group_size
         FROM documents"""
     sql["dedup_minhash_lsh"] = _SHINGLE_CTE + _minhash_oracle_body("tok", "tok")
+    # fuzzy decon = the SAME verified pair set, filtered to cross-split
+    # links — one source of truth with the dedup oracle
+    sql["corpus_decon_fuzzy"] = f"""
+        WITH p AS ({sql['dedup_minhash_lsh']})
+        SELECT CASE WHEN doc_b % {corpus.EVAL_MOD} = 0 THEN doc_a
+                    ELSE doc_b END AS train_doc,
+               CASE WHEN doc_b % {corpus.EVAL_MOD} = 0 THEN doc_b
+                    ELSE doc_a END AS eval_doc,
+               jaccard
+        FROM p
+        WHERE (doc_a % {corpus.EVAL_MOD} = 0) <> (doc_b % {corpus.EVAL_MOD} = 0)"""
+    sql["corpus_gopher_rules"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                     'sum') AS DOUBLE) / len(toks) AS mwl,
+                 CAST(len(list_filter(toks,
+                        x -> x IN ('the', 'a', 'of', 'to', 'and')))
+                      AS DOUBLE) / len(toks) AS sf
+          FROM t),
+        f AS (
+          SELECT doc_id, n_tokens, mwl, sf,
+                 n_tokens >= 20 AS ok_len,
+                 mwl >= 4.0 AND mwl <= 5.0 AS ok_mwl,
+                 sf >= 0.03 AS ok_stop
+          FROM s)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               round(mwl, 6) AS mean_word_len,
+               round(sf, 6) AS stop_frac,
+               ok_len AND ok_mwl AND ok_stop AS passed,
+               coalesce(array_to_string(list_filter(
+                 [CASE WHEN NOT ok_len THEN 'short' END,
+                  CASE WHEN NOT ok_mwl THEN 'wordlen' END,
+                  CASE WHEN NOT ok_stop THEN 'stopwords' END],
+                 x -> x IS NOT NULL), ','), '') AS fail_reasons
+        FROM f"""
     sql["dedup_simhash"] = (
         _TOK_CTE
         + f""",

@@ -34,7 +34,8 @@ def test_scan_speed_ops_have_zero_shuffles(spark):
     speed over 100 TB."""
     for name in ("text_pii_scrub", "text_quality_logreg", "emb_quantize",
                  "corpus_repetition", "text_quality", "text_fingerprint",
-                 "text_readability", "ann_range_search"):
+                 "text_readability", "ann_range_search",
+                 "corpus_gopher_rules"):
         plan = _plan(spark, name)
         assert _exchanges(plan) == 0, (name, plan[:1200])
 
@@ -109,6 +110,28 @@ def test_bounded_shuffle_budgets(spark):
         "corpus_vocab_growth": 4,
         # first-view agg + keyed join + first-purchase conditional agg
         "w12_time_to_convert": 3,
+        # session-2 additions
+        # pair distinct + day-dim distinct (broadcast) + count-distinct agg
+        # (expands to partial/final under the distinct rewrite)
+        "w13_rolling_active": 5,
+        # ONE expand-based grouping-sets pass: all four cubes share it
+        "a12_cube": 1,
+        # per-customer partial agg + the 1-row broadcast ref date
+        "w14_rfm": 3,
+        # distinct + left-semi reverse join + two pred-keyed partials, all
+        # over the memoized flagship checkpoint (triple-sized inputs)
+        "kg_sym_preds": 6,
+        # union-all degree agg + bucket agg; the share window runs over the
+        # <=64-row bucket aggregate (flagship checkpoint upstream)
+        "kg_degree_hist": 5,
+        # one (user) lag-window shuffle + the percentile agg keyed by type
+        "w15_interarrival": 2,
+        # logprob substrate owns its chain; the cut adds only the 1-row
+        # threshold agg (broadcast) + the final 3-row bucket agg
+        "corpus_ccnet_cut": 15,
+        # transcript window + provenance join + fact agg + the argmax
+        # window over the (subj,pred)-grouped fact table
+        "kg_current_facts": 18,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
