@@ -2049,6 +2049,41 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+def _q_a13_mad(spark, sf):
+    """Median absolute deviation per event type — the robust dispersion
+    read (outlier-insensitive, unlike w10's stddev): med = exact p50 of
+    values, MAD = exact p50 of |value - med|.  Two sort-based percentile
+    aggregates with a broadcast of the tiny per-type median table between
+    them; both medians interpolate at p=0.5 (an exact binary fraction), so
+    the result is engine-identical before the display round."""
+    e = graft.load(spark, sf, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+        )
+    )
+
+
+def _q_corpus_dup_cluster_stats(spark, sf):
+    """Near-dup cluster-size profile: how much of the corpus sits in
+    clusters of each size — the one-screen dedup health read (a fat tail
+    here means boilerplate or mirror floods) computed BEFORE choosing
+    keep-best policy.  One partial agg over the oracle-checked component
+    assignment, then a second over the (tiny) per-cluster sizes."""
+    groups = _q_dedup_groups(spark, sf)
+    sizes = groups.groupBy("keeper_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
 def _q_corpus_decon_fuzzy(spark, sf):
     """Fuzzy benchmark decontamination: near-duplicate links BETWEEN the
     training split and the held-out split (doc_id % EVAL_MOD == 0 plays the
@@ -2324,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w15_interarrival": _q_w15_interarrival,
         "corpus_decon_fuzzy": _q_corpus_decon_fuzzy,
         "corpus_gopher_rules": _q_corpus_gopher_rules,
+        "a13_mad": _q_a13_mad,
+        "corpus_dup_cluster_stats": _q_corpus_dup_cluster_stats,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -3796,6 +3833,21 @@ def oracle_sql() -> dict[str, str]:
         node_col="doc_id",
         comp_col="keeper_id",
     )
+    # cluster-size profile over the SAME component assignment
+    sql["corpus_dup_cluster_stats"] = f"""
+        WITH g AS ({sql['dedup_minhash_groups']}),
+        sz AS (SELECT keeper_id, count(*) AS cluster_size FROM g
+               GROUP BY keeper_id)
+        SELECT cluster_size, count(*) AS n_clusters,
+               CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+        FROM sz GROUP BY cluster_size"""
+    sql["a13_mad"] = """
+        WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                     FROM events GROUP BY event_type)
+        SELECT e.event_type, round(any_value(med.med), 6) AS median,
+               round(quantile_cont(abs(e.value - med.med), 0.5), 6) AS mad
+        FROM events e JOIN med ON med.event_type = e.event_type
+        GROUP BY e.event_type"""
     # canonical-doc selection: the cluster oracle above joined to the
     # quality oracle, best (quality DESC, doc_id ASC) member per cluster —
     # pure composition of the two already-checked derivations
