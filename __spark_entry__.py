@@ -2049,6 +2049,58 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+def _q_emb_pq_codes(spark, sf):
+    """Product quantization: each 64-dim embedding is split into 4
+    sub-vectors of 16 dims, and each sub-vector is assigned to its nearest
+    (squared-L2) entry of a deterministic 8-entry codebook (the sub-vectors
+    of anchor vec_ids 0-7) — the memory-compression path that makes
+    billion-vector ANN indexes fit (4 bytes/vector here vs 256).
+    Engine-exact by construction: doubles throughout, each sub-distance is
+    a FIXED-ORDER fold over 16 dims, argmin ties break on cent_id, and the
+    reported quantization error sums the 4 sub-distances in fixed order.
+    Zero shuffle after the 1-row codebook aggregate broadcasts: the
+    assignment is a pure per-row projection, exactly how a 100 TB encode
+    pass must run."""
+    emb = graft.load(spark, sf, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", vec_d.alias("v"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    packed = cents.agg(F.collect_list(F.struct("cent_id", "cvec")).alias("cents"))
+    d = e.crossJoin(F.broadcast(packed))
+
+    def best(j):
+        def dist(cent):
+            a = F.slice(F.col("v"), j * 16 + 1, 16)
+            b = F.slice(cent["cvec"], j * 16 + 1, 16)
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+
+        init = F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("c")
+        )
+        return F.aggregate(
+            F.col("cents"),
+            init,
+            lambda acc, cent: F.when(
+                (dist(cent) < acc["d"])
+                | ((dist(cent) == acc["d"]) & (cent["cent_id"] < acc["c"])),
+                F.struct(dist(cent).alias("d"), cent["cent_id"].alias("c")),
+            ).otherwise(acc),
+        )
+
+    bs = [best(j) for j in range(4)]
+    return d.select(
+        "vec_id",
+        *[bs[j]["c"].alias(f"code_{j}") for j in range(4)],
+        F.round(bs[0]["d"] + bs[1]["d"] + bs[2]["d"] + bs[3]["d"], 6).alias("qerr"),
+    )
+
+
 def _q_a13_mad(spark, sf):
     """Median absolute deviation per event type — the robust dispersion
     read (outlier-insensitive, unlike w10's stddev): med = exact p50 of
@@ -2341,9 +2393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 117 queries and 66 never
+    # by the already-driver-proven core.  With 137 queries and ~86 never
     # driver-checked, the first 50 slots are all spent on never-checked
-    # names (zero wasted on re-checks); the ~16 never-checked names past the
+    # names (zero wasted on re-checks); the ~36 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
     # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
@@ -2361,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gopher_rules": _q_corpus_gopher_rules,
         "a13_mad": _q_a13_mad,
         "corpus_dup_cluster_stats": _q_corpus_dup_cluster_stats,
+        "emb_pq_codes": _q_emb_pq_codes,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -3841,6 +3894,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT cluster_size, count(*) AS n_clusters,
                CAST(count(*) * cluster_size AS BIGINT) AS n_docs
         FROM sz GROUP BY cluster_size"""
+    sql["emb_pq_codes"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+        sub AS (
+          SELECT e.vec_id, js.j, cents.cent_id,
+                 list_aggregate(list_transform(range(1, 17),
+                   i -> (e.v[js.j * 16 + i] - cents.cvec[js.j * 16 + i])
+                      * (e.v[js.j * 16 + i] - cents.cvec[js.j * 16 + i])),
+                   'sum') AS d
+          FROM e
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+          CROSS JOIN cents),
+        best AS (
+          SELECT vec_id, j, cent_id, d,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY d ASC, cent_id ASC) AS rk
+          FROM sub)
+        SELECT vec_id,
+               max(CASE WHEN j = 0 THEN cent_id END) AS code_0,
+               max(CASE WHEN j = 1 THEN cent_id END) AS code_1,
+               max(CASE WHEN j = 2 THEN cent_id END) AS code_2,
+               max(CASE WHEN j = 3 THEN cent_id END) AS code_3,
+               round(max(CASE WHEN j = 0 THEN d END)
+                     + max(CASE WHEN j = 1 THEN d END)
+                     + max(CASE WHEN j = 2 THEN d END)
+                     + max(CASE WHEN j = 3 THEN d END), 6) AS qerr
+        FROM best WHERE rk = 1 GROUP BY vec_id"""
     sql["a13_mad"] = """
         WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
                      FROM events GROUP BY event_type)

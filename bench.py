@@ -67,6 +67,13 @@ HEADLINE = [
     "corpus_containment",
     "g11_edge_lift",
     "w9_peak_concurrency",
+    # round-4 session-2 additions (same one-per-family policy): the second
+    # iterative spectral ranking, the explode-rewrite rolling distinct, and
+    # the zero-shuffle rule filter; the varied-substrate kg_* queries re-run
+    # a full pipeline build and are covered by the flagship benches
+    "g12_hits",
+    "w13_rolling_active",
+    "corpus_gopher_rules",
 ]
 
 
