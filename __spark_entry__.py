@@ -464,7 +464,11 @@ def _kg_flagship(spark, sf, tau=0.95, substrate="base"):
         return hit
     for k in [k for k in _KG_MEMO if k[0] != key[0]]:
         del _KG_MEMO[k]
-    make = graft.kg_transcripts_varied if substrate == "varied" else graft.kg_transcripts
+    make = {
+        "base": graft.kg_transcripts,
+        "varied": graft.kg_transcripts_varied,
+        "alias": graft.kg_transcripts_alias,
+    }[substrate]
     res = run_pipeline(make(spark, sf), tau=tau)
     out = (
         res.entities.localCheckpoint(eager=True),
@@ -2049,6 +2053,23 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+def _q_kg_alias_merge(spark, sf):
+    """The canonicalization MERGE path under the value gate: entities with
+    >= 2 alias surface forms, with the sorted alias list — on the alias
+    substrate (graft.kg_transcripts_alias) every customer appears both
+    plain and zero-padded, two DIFFERENT norms with IDENTICAL distinct
+    3-gram sets, so the LSH+CC path must merge each into one 2-alias
+    entity.  This is the one pipeline behavior (cluster merging) the other
+    kg_* contract queries never fire on their substrates — previously it
+    was pinned only by generator-based pytest, never by the DuckDB gate."""
+    ents, _ = _kg_flagship(spark, sf, substrate="alias")
+    return ents.filter(F.size("aliases") >= 2).select(
+        "canonical_name",
+        F.size("aliases").cast("long").alias("n_aliases"),
+        F.array_join("aliases", ",").alias("alias_csv"),
+    )
+
+
 def _q_emb_pq_codes(spark, sf):
     """Product quantization: each 64-dim embedding is split into 4
     sub-vectors of 16 dims, and each sub-vector is assigned to its nearest
@@ -2414,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_mad": _q_a13_mad,
         "corpus_dup_cluster_stats": _q_corpus_dup_cluster_stats,
         "emb_pq_codes": _q_emb_pq_codes,
+        "kg_alias_merge": _q_kg_alias_merge,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -3267,6 +3289,33 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
                round(quantile_cont(gap_us, 0.9), 6) AS p90_us
         FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""
+    # alias-substrate canonicalization: the same gram-fingerprint CTE over
+    # the padded/plain surface pairs — the merge path, value-checked
+    _anorm_s = NORM_SQL.format(col="subj_surface")
+    _anorm_o = NORM_SQL.format(col="obj_surface")
+    sql["kg_alias_merge"] = f"""
+        WITH raw AS (
+          SELECT CASE WHEN o.o_orderkey % 2 = 1
+                      THEN replace(c.c_name, '#', '#0')
+                      ELSE c.c_name END AS subj_surface,
+                 n.n_name AS obj_surface
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey),
+        norms AS (
+          SELECT DISTINCT {_anorm_s} AS norm FROM raw
+          UNION SELECT DISTINCT {_anorm_o} FROM raw),
+        fp AS (
+          SELECT norm, string_agg(DISTINCT g, '|' ORDER BY g) AS gramset
+          FROM (SELECT norm, substr(norm, i, 3) AS g
+                FROM norms, (SELECT unnest(range(1, (SELECT CAST(max(length(norm)) AS BIGINT) + 1 FROM norms))) AS i)
+                WHERE i <= length(norm) - 2)
+          GROUP BY norm),
+        canon AS (SELECT norm, min(norm) OVER (PARTITION BY gramset) AS cname
+                  FROM fp)
+        SELECT cname AS canonical_name, count(*) AS n_aliases,
+               string_agg(norm, ',' ORDER BY norm) AS alias_csv
+        FROM canon GROUP BY cname HAVING count(*) >= 2"""
     sql["kg_sym_preds"] = f"""
         WITH kg AS ({kg_varied}),
         d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg),

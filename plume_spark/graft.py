@@ -181,6 +181,42 @@ def kg_transcripts_varied(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_transcripts_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kg_transcripts with ALIAS surface forms — the substrate that makes
+    the canonicalization MERGE path observable under the value gate (on the
+    flagship substrate every cluster is a singleton, so alias merging never
+    fires in an oracle-checked query).
+
+    Odd orders render the customer with one extra zero after '#'
+    (``Customer#0000000042``): the padded and plain norms are DIFFERENT
+    strings whose distinct 3-gram sets are IDENTICAL (the extra '0' only
+    repeats already-present '000'/' 00' grams), so exact-Jaccard = 1.0 and
+    both the LSH path and the oracle's gram-fingerprint CTE must merge them
+    into one entity with two aliases.  Even orders keep the plain surface;
+    predicate is always 'works at' (this substrate isolates aliasing)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"]).join(
+        o, o["o_custkey"] == c["c_custkey"]
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    surface = F.when(
+        F.col("o_orderkey") % 2 == 1,
+        F.regexp_replace(F.col("c_name"), "#", "#0"),
+    ).otherwise(F.col("c_name"))
+    return j.select(
+        F.concat(F.lit("conv-"), F.col("c_custkey").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(surface, F.lit(" works at "), F.col("n_name")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+
+
 def dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-level DAG over disjoint id namespaces: customer -> order -> part.
     The substrate for the traversal/read-benchmark operators (J6/J7/P7)."""
