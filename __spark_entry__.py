@@ -2053,6 +2053,32 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+def _q_w16_gini(spark, sf):
+    """Gini coefficient of per-user event volume — the one-number
+    concentration read (is traffic spread out or is one whale generating
+    the corpus?) run before partitioning decisions for user-keyed work.
+    Rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over counts ranked
+    ascending with a (count, user_id) total order, so ties are broken
+    identically on every engine.  The only unpartitioned window runs over
+    the per-user AGGREGATE (dimension-table sized), never raw events; all
+    sums are exact int64, divided once in binary64."""
+    e = graft.load(spark, sf, "events")
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("user_id").asc())
+    r = per.select("n", F.row_number().over(w).alias("i"))
+    cnt = F.count(F.lit(1))
+    return r.agg(
+        cnt.alias("n_users"),
+        F.sum("n").alias("total_events"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("n")))
+            / (cnt * F.sum("n"))
+            - (cnt + F.lit(1.0)) / cnt,
+            6,
+        ).alias("gini"),
+    )
+
+
 def _q_kg_alias_merge(spark, sf):
     """The canonicalization MERGE path under the value gate: entities with
     >= 2 alias surface forms, with the sorted alias list — on the alias
@@ -2436,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_cluster_stats": _q_corpus_dup_cluster_stats,
         "emb_pq_codes": _q_emb_pq_codes,
         "kg_alias_merge": _q_kg_alias_merge,
+        "w16_gini": _q_w16_gini,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -3971,6 +3998,17 @@ def oracle_sql() -> dict[str, str]:
                      + max(CASE WHEN j = 2 THEN d END)
                      + max(CASE WHEN j = 3 THEN d END), 6) AS qerr
         FROM best WHERE rk = 1 GROUP BY vec_id"""
+    sql["w16_gini"] = """
+        WITH per AS (SELECT user_id, count(*) AS n FROM events
+                     GROUP BY user_id),
+        r AS (SELECT n, row_number() OVER (ORDER BY n ASC, user_id ASC) AS i
+              FROM per)
+        SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS total_events,
+               round(CAST(2.0 AS DOUBLE) * sum(i * n)
+                       / (count(*) * sum(n))
+                     - (count(*) + CAST(1.0 AS DOUBLE)) / count(*), 6)
+                 AS gini
+        FROM r"""
     sql["a13_mad"] = """
         WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
                      FROM events GROUP BY event_type)
