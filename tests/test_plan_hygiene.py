@@ -132,6 +132,20 @@ def test_bounded_shuffle_budgets(spark):
         # transcript window + provenance join + fact agg + the argmax
         # window over the (subj,pred)-grouped fact table
         "kg_current_facts": 18,
+        # 1-row codebook aggregate (partial/final); the assignment itself
+        # is a pure projection after the broadcast
+        "emb_pq_codes": 2,
+        # per-user partial agg + the rank window over the tiny aggregate
+        "w16_gini": 2,
+        # per-type median agg + broadcast-joined second percentile agg
+        "a13_mad": 3,
+        # plan reads the localCheckpointed alias-substrate entity table:
+        # the filter/projection must stay shuffle-free
+        "kg_alias_merge": 0,
+        # these two inherit the full minhash banding + verify (+ CC loop)
+        # chain; the budget pins that the added stage costs ~nothing
+        "corpus_decon_fuzzy": 42,
+        "corpus_dup_cluster_stats": 50,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
