@@ -1286,3 +1286,48 @@ def test_edge_lift_known_graph(spark):
     assert ac["lift"] == round(2 * 3 / (3 * 2), 6)
     # (b, c) share only g2 -> filtered by min_groups=2
     assert ("b", "c") not in got
+
+
+def test_new_substrates_turn_ordering_invariants(spark):
+    """The north-rule W1 invariant on the round-4 substrates: turn_idx is
+    dense 0..n-1 and unique per conversation, and the whole derivation is
+    deterministic across independent evaluations (resume/idempotency rests
+    on this).  kg_transcripts_varied additionally must carry every 'met'
+    reverse turn in the SAME conversation as its forward turn."""
+    from pyspark.sql import functions as F
+
+    from plume_spark import graft
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (graft.kg_transcripts_varied, graft.kg_transcripts_alias):
+        t = fn(spark, sf)
+        agg = t.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("turn_idx").alias("d"),
+            F.max("turn_idx").alias("mx"),
+            F.min("turn_idx").alias("mn"),
+        )
+        bad = agg.filter(
+            (F.col("n") != F.col("d"))
+            | (F.col("mx") != F.col("n") - 1)
+            | (F.col("mn") != 0)
+        ).count()
+        assert bad == 0, fn.__name__
+        a = sorted(map(tuple, t.collect()))
+        b = sorted(map(tuple, fn(spark, sf).collect()))
+        assert a == b, fn.__name__
+    # every reverse 'met' text has its forward twin in the same conv
+    v = graft.kg_transcripts_varied(spark, sf)
+    # regexp_extract (empty on no match) instead of split+getItem: ANSI mode
+    # errors on out-of-bounds getItem when the optimizer collapses the
+    # projection with the filter and evaluates it on non-'met' rows
+    pairs = v.select(
+        "conv_id",
+        F.regexp_extract("text", "^(.*) met (.*)$", 1).alias("x"),
+        F.regexp_extract("text", "^(.*) met (.*)$", 2).alias("y"),
+    ).filter(F.col("x") != "")
+    rev = pairs.select(
+        "conv_id", F.col("y").alias("x"), F.col("x").alias("y")
+    ).distinct()
+    n_sym = pairs.join(rev, ["conv_id", "x", "y"], "left_semi").count()
+    assert 0 < n_sym < pairs.count()
