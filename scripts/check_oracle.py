@@ -183,6 +183,36 @@ def run_scaled_check(spark, sf: str, k: int = 8, out=sys.stdout) -> list:
         FROM ({oq["g2_components"]}) b
         CROSS JOIN (SELECT UNNEST(range({k})) AS r) g"""
     failures += _compare(f"g2_components@k={k}", comp, con, comp_sql, t0, out)
+
+    # alias-merge at k: replicas share surface forms, so the entity/alias
+    # table must be IDENTICAL to the unscaled oracle — the scale-free
+    # dictionary invariant the canonicalization design rests on, asserted
+    # at the same k-replicated tier the scaling bench runs
+    t0 = time.time()
+    ta = graft.kg_transcripts_alias(spark, sf).repartition(
+        graft.SCALE_UNITS, "conv_id"
+    )
+    reps2 = spark.range(k).select(F.col("id").cast("int").alias("_rep"))
+    ta_k = ta.crossJoin(reps2).select(
+        F.concat("conv_id", F.lit("-r"), F.col("_rep")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+    ents = (
+        run_pipeline(ta_k, tau=0.95)
+        .entities.filter(F.size("aliases") >= 2)
+        .select(
+            "canonical_name",
+            F.size("aliases").cast("long").alias("n_aliases"),
+            F.array_join("aliases", ",").alias("alias_csv"),
+        )
+    )
+    failures += _compare(
+        f"kg_alias_merge@k={k}", ents, con, oq["kg_alias_merge"], t0, out
+    )
     return failures
 
 
