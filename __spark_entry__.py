@@ -2053,6 +2053,59 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+# Count-Min sketch geometry shared by the Spark query and its oracle SQL —
+# one source of truth so the hash family can never drift between engines.
+CMS_W, CMS_P = 1024, 2147483647
+CMS_SALTS = [(131, 7), (1009, 19), (524287, 3), (8191, 101)]
+
+
+def _q_a14_countmin(spark, sf):
+    """Count-Min sketch heavy-hitter estimates vs exact counts — the third
+    sketch aggregate (HLL distinct = a10, GK quantiles = a11, CMS frequency
+    = this): at 100 TB the per-key frequency table for a skew decision is a
+    fixed (d x w) int grid, not an O(keys) map.  Unlike a10/a11, the CMS
+    estimate is FULLY value-checked: the hash family is explicit integer
+    arithmetic and depth-wise min is order-independent, so both engines
+    compute the identical sketch.  One explode(d)+groupBy for the grid
+    (map-side combinable), one exact top-20, one broadcast-sized join of 20
+    users against their d=4 grid cells; cms_ok pins the one-sided error
+    guarantee (CMS never underestimates)."""
+    e = graft.load(spark, sf, "events")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((F.col("user_id") * a + b) % CMS_P) % CMS_W).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(CMS_SALTS)
+        ]
+    )
+    cms = (
+        e.select(F.explode(cells).alias("s"))
+        .select("s.j", "s.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id", "n_exact", F.explode(cells).alias("s")
+    ).select("user_id", "n_exact", "s.j", "s.bucket")
+    est = (
+        F.broadcast(probes)
+        .join(cms, ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+    )
+    return est.select(
+        "user_id", "n_exact", "n_cms", (F.col("n_cms") >= F.col("n_exact")).alias("cms_ok")
+    )
+
+
 def _q_w16_gini(spark, sf):
     """Gini coefficient of per-user event volume — the one-number
     concentration read (is traffic spread out or is one whale generating
@@ -2463,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": _q_emb_pq_codes,
         "kg_alias_merge": _q_kg_alias_merge,
         "w16_gini": _q_w16_gini,
+        "a14_countmin": _q_a14_countmin,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -3998,6 +4052,23 @@ def oracle_sql() -> dict[str, str]:
                      + max(CASE WHEN j = 2 THEN d END)
                      + max(CASE WHEN j = 3 THEN d END), 6) AS qerr
         FROM best WHERE rk = 1 GROUP BY vec_id"""
+    # CMS oracle generated from the SAME geometry constants as the query
+    _cms_b = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, ((user_id * {a} + {b}) % {CMS_P}) % {CMS_W} AS bucket FROM events"
+        for j, (a, b) in enumerate(CMS_SALTS)
+    )
+    sql["a14_countmin"] = f"""
+        WITH b AS ({_cms_b}),
+        cms AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY j, bucket),
+        top AS (SELECT user_id, count(*) AS n_exact FROM events
+                GROUP BY user_id
+                ORDER BY n_exact DESC, user_id ASC LIMIT 20),
+        est AS (SELECT t.user_id, t.n_exact, min(c.cnt) AS n_cms
+                FROM top t
+                JOIN b ON b.user_id = t.user_id
+                JOIN cms c ON c.j = b.j AND c.bucket = b.bucket
+                GROUP BY t.user_id, t.n_exact)
+        SELECT user_id, n_exact, n_cms, n_cms >= n_exact AS cms_ok FROM est"""
     sql["w16_gini"] = """
         WITH per AS (SELECT user_id, count(*) AS n FROM events
                      GROUP BY user_id),
