@@ -2053,6 +2053,46 @@ def _q_kg_current_facts(spark, sf):
     )
 
 
+def _q_w17_rank_family(spark, sf):
+    """The full SQL rank family over per-customer revenue within nation —
+    rank (gaps on ties), dense_rank, percent_rank, cume_dist, and ntile(4)
+    in ONE window pass (they all share the single (nation) shuffle) — the
+    leaderboard/percentile-banding surface the row_number-only queries
+    don't cover.  Revenue is the exact decimal sum, ordered with a custkey
+    tie-break, so every rank and the two ratio functions ((rank-1)/(n-1),
+    rows<=current/n — exact-int divisions) are engine-identical; ntile uses
+    the standard floor distribution on both engines."""
+    o = graft.load(spark, sf, "orders")
+    c = graft.load(spark, sf, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey").alias("custkey"), "c_nationkey", "revenue")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("custkey").asc()
+    )
+    return rev.select(
+        "custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        # NO display rounding on the two ratio columns: with power-of-two
+        # group sizes (640 customers/nation at sf0.1) i/n lands EXACTLY on
+        # .5 round boundaries where Spark (half-up) and DuckDB (half-even)
+        # legitimately disagree — the unrounded doubles are bit-identical
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # Count-Min sketch geometry shared by the Spark query and its oracle SQL —
 # one source of truth so the hash family can never drift between engines.
 CMS_W, CMS_P = 1024, 2147483647
@@ -2517,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alias_merge": _q_kg_alias_merge,
         "w16_gini": _q_w16_gini,
         "a14_countmin": _q_a14_countmin,
+        "w17_rank_family": _q_w17_rank_family,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -4057,6 +4098,22 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT user_id, {j} AS j, ((user_id * {a} + {b}) % {CMS_P}) % {CMS_W} AS bucket FROM events"
         for j, (a, b) in enumerate(CMS_SALTS)
     )
+    sql["w17_rank_family"] = """
+        WITH rev AS (
+          SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey,
+                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey, c.c_nationkey)
+        SELECT custkey, nationkey, revenue,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cume,
+               ntile(4) OVER w AS quartile
+        FROM rev
+        WINDOW w AS (PARTITION BY nationkey
+                     ORDER BY revenue DESC, custkey ASC)"""
     sql["a14_countmin"] = f"""
         WITH b AS ({_cms_b}),
         cms AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY j, bucket),
