@@ -1201,6 +1201,39 @@ def _q_t1_asof_join(spark, sf):
     )
 
 
+def _q_t7_asof_tolerance(spark, sf):
+    """As-of join with a staleness tolerance (pandas merge_asof's
+    ``tolerance``, kdb wj's window edge): each purchase matches the latest
+    same-user view at or before it ONLY if that view is at most 10 minutes
+    old — older matches null out, and the match age rides along in
+    microseconds.  Pure post-projection over the one-shuffle union-window
+    as-of (the carried right timestamp makes the age computable without a
+    second join), so the tolerance costs nothing at scale."""
+    from plume_spark.operators.temporal import asof_join
+
+    ev = graft.load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, views, key="user_id",
+        right_vals=("event_id", "ts"), prefix="matched_",
+    )
+    age_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("matched_ts").cast("timestamp")
+    )
+    fresh = F.col("matched_ts").isNotNull() & (age_us <= 600 * 1_000_000)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("matched_event_id")).alias("matched_view"),
+        F.when(fresh, age_us).alias("age_us"),
+    )
+
+
 def _q_t2_range_join(spark, sf):
     """Bounded range join (bucketed, linear candidates): per purchase, the
     count of same-user clicks in the preceding hour."""
@@ -2558,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w16_gini": _q_w16_gini,
         "a14_countmin": _q_a14_countmin,
         "w17_rank_family": _q_w17_rank_family,
+        "t7_asof_tolerance": _q_t7_asof_tolerance,
         "a10_approx_distinct": _q_a10_approx_distinct,
         "a11_approx_quantile": _q_a11_approx_quantile,
         "w9_peak_concurrency": _q_w9_peak_concurrency,
@@ -4039,6 +4073,22 @@ def oracle_sql() -> dict[str, str]:
                    WHERE event_type = 'purchase')
         SELECT l.event_id, l.user_id, r.mv AS matched_view
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+    sql["t7_asof_tolerance"] = """
+        WITH r AS (SELECT user_id, ts, MAX(event_id) AS mv FROM events
+                   WHERE event_type = 'view' GROUP BY user_id, ts),
+             l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             m AS (SELECT l.event_id, l.user_id, r.mv, r.ts AS rts, l.ts AS lts
+                   FROM l ASOF LEFT JOIN r
+                     ON l.user_id = r.user_id AND l.ts >= r.ts)
+        SELECT event_id, user_id,
+               CASE WHEN rts IS NOT NULL
+                     AND epoch_us(lts) - epoch_us(rts) <= 600 * 1000000
+                    THEN mv END AS matched_view,
+               CASE WHEN rts IS NOT NULL
+                     AND epoch_us(lts) - epoch_us(rts) <= 600 * 1000000
+                    THEN epoch_us(lts) - epoch_us(rts) END AS age_us
+        FROM m"""
     sql["t2_range_join"] = """
         SELECT l.event_id, l.user_id,
                (SELECT COUNT(*) FROM events r
