@@ -2566,9 +2566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 140 queries and ~89 never
+    # by the already-driver-proven core.  With 143 queries and ~92 never
     # driver-checked, the first 50 slots are all spent on never-checked
-    # names (zero wasted on re-checks); the ~39 never-checked names past the
+    # names (zero wasted on re-checks); the ~42 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
     # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
