@@ -146,6 +146,15 @@ def test_bounded_shuffle_budgets(spark):
         # chain; the budget pins that the added stage costs ~nothing
         "corpus_decon_fuzzy": 42,
         "corpus_dup_cluster_stats": 50,
+        # CMS grid agg (partial/final after the explode) + exact top-20 +
+        # the broadcast probe join
+        "a14_countmin": 4,
+        # one revenue partial agg + customer join + ONE window shuffle
+        # shared by all five rank functions
+        "w17_rank_family": 3,
+        # the tolerance is a pure post-projection: same budget as t1's
+        # one-shuffle union-window as-of
+        "t7_asof_tolerance": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
