@@ -2561,6 +2561,187 @@ def _q_w14_rfm(spark, sf):
     )
 
 
+# Bloom-filter geometry shared by the Spark query and its oracle SQL (the
+# CMS pattern): k = len(CMS_SALTS) hash functions over an M-bit space.
+BLOOM_M = 8192
+
+
+def _q_a15_bloom(spark, sf):
+    """Bloom-filter membership: build a 4-hash/8192-bit filter over the
+    purchasing users, probe EVERY user through it, and report the exact
+    membership, the filter's answer, and the no-false-negative contract —
+    the sketch that makes 100 TB anti-joins cheap (ship 1 KB of bits
+    instead of the key set; only bloom-positive rows pay the real join).
+    Same affine hash family as the Count-Min query, reduced mod BLOOM_M
+    instead of CMS_W, so the whole sketch family shares one set of salt
+    constants.  The bit table is <= 8192 rows and broadcasts; the probe is
+    a per-row projection + one broadcast semi-join + one user-keyed agg —
+    nothing scales with the filter, exactly how a distributed Bloom probe
+    must run."""
+    e = graft.load(spark, sf, "events")
+
+    def pos(a, b):
+        return ((F.col("user_id") * a + b) % CMS_P) % BLOOM_M
+
+    hashes = F.array(*[pos(a, b) for a, b in CMS_SALTS])
+    members = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    bits = members.select(F.explode(hashes).alias("bit")).distinct()
+    probe = e.select("user_id").distinct()
+    k_hit = (
+        probe.select("user_id", F.explode(hashes).alias("bit"))
+        .join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    out = (
+        probe.join(k_hit, "user_id", "left")
+        .join(members.withColumn("is_member", F.lit(True)), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            (F.coalesce("k_hit", F.lit(0)) == len(CMS_SALTS)).alias("bloom_hit"),
+        )
+    )
+    return out.withColumn(
+        "no_false_neg", F.col("bloom_hit") | ~F.col("is_member")
+    )
+
+
+def _q_kg_star_join(spark, sf):
+    """Star basic-graph-pattern match over the built KG: every entity
+    asserting BOTH a works_at edge and a visited edge, with the matched
+    (workplace, visited_place) bindings — the 2-arm SPARQL-style star join
+    (?who works_at ?w . ?who visited ?v) that KG consumers run constantly
+    and that kg_path2 (chain composition) does not cover.  Runs on the
+    varied substrate where 'visited' is genuinely multi-valued, so arms
+    multiply.  Both arms are filters over ONE distinct-triple projection
+    shuffled on the shared subject key — a self-equi-join that co-partitions
+    at any scale; the star never touches raw mentions."""
+    _, named = _kg_flagship(spark, sf, substrate="varied")
+    d = named.select("subj_name", "pred", "obj_name").distinct()
+    works = d.filter(F.col("pred") == "works_at").select(
+        F.col("subj_name").alias("who"), F.col("obj_name").alias("workplace")
+    )
+    vis = d.filter(F.col("pred") == "visited").select(
+        F.col("subj_name").alias("who"), F.col("obj_name").alias("visited_place")
+    )
+    return works.join(vis, "who")
+
+
+def _q_ann_pq_adc(spark, sf):
+    """Asymmetric-distance (ADC) top-k over the PQ codes: the query vector
+    stays un-quantized, each coded vector's distance is the sum of four
+    table lookups d(q_sub_j, centroid[code_j]) — the search half of the
+    product-quantization story (emb_pq_codes is the encode half) and the
+    memory-bound scan shape every billion-vector IVF-PQ index runs.  The
+    32-entry lookup table (4 sub-spaces x 8 centroids) is computed once
+    from the same codebook the encoder used and broadcast; the scan is then
+    four broadcast hash-joins + one fixed-order double sum per row with a
+    TakeOrderedAndProject top-20 — zero shuffle of the code table.  Tie
+    determinism: distances fold in fixed order, round(6) before the sort,
+    vec_id tie-break."""
+    emb = graft.load(spark, sf, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", vec_d.alias("v"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    q = e.filter(F.col("vec_id") == 9).select(F.col("v").alias("qvec"))
+
+    def subdist(j):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qvec"), j * 16 + 1, 16),
+                F.slice(F.col("cvec"), j * 16 + 1, 16),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    lut = cents.crossJoin(F.broadcast(q)).select(
+        "cent_id", *[subdist(j).alias(f"d{j}") for j in range(4)]
+    )
+    codes = _q_emb_pq_codes(spark, sf)
+    for j in range(4):
+        lj = lut.select(F.col("cent_id").alias(f"code_{j}"), f"d{j}")
+        codes = codes.join(F.broadcast(lj), f"code_{j}")
+    adc = codes.select(
+        "vec_id",
+        F.round(
+            F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
+        ).alias("adc_dist"),
+    )
+    return adc.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(20)
+
+
+def _q_w18_streaks(spark, sf):
+    """Longest consecutive-DAY active streak per user — the calendar-gap
+    islands variant (w6 covers sequence-number islands within the event
+    stream; retention work needs the date-arithmetic twin: 'how many days
+    in a row was this user active?').  Classic trick: over distinct
+    (user, day), day - row_number(days so far) is CONSTANT within a run of
+    consecutive dates, so one window plus two partial aggs — no self-join,
+    no UDF, no per-user iteration.  The (user, day) distinct and the
+    (user) window share key prefixes, and both aggs after the window run
+    on the existing (user) partitioning, so AQE plans one extra exchange
+    at most.  All outputs are exact int64."""
+    e = graft.load(spark, sf, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    anchored = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    runs = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+def _q_t6_scd2(spark, sf):
+    """Slowly-changing-dimension (type 2) interval reconstruction: compress
+    each user's event-type sequence into state-change rows carrying
+    [valid_from, valid_to) validity intervals and an is_current flag — the
+    standard shape for temporally-scoped KG facts and dimension snapshots
+    (kg_current_facts picks ONE latest winner; this keeps the full
+    history as intervals).  lag() marks the change rows, lead() over the
+    surviving rows closes each interval; both windows share the one
+    (user_id) shuffle and the same (ts, event_id) total order, so the
+    change detection and the interval close are engine-identical under
+    timestamp ties."""
+    e = graft.load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    marked = e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lag("event_type").over(w).alias("_prev"),
+    )
+    changes = marked.filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from").asc(), F.col("event_id").asc()
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_id").alias("change_event"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
@@ -2573,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
         # --- new in round 4 (never driver-checked) -------------------------
+        "w18_streaks": _q_w18_streaks,
+        "t6_scd2": _q_t6_scd2,
         "w13_rolling_active": _q_w13_rolling_active,
         "a12_cube": _q_a12_cube,
         "w14_rfm": _q_w14_rfm,
@@ -4486,4 +4669,34 @@ def oracle_sql() -> dict[str, str]:
           FROM base)
         SELECT doc_id, shard, tok_offset,
                CAST(tok_offset // 256 AS BIGINT) AS chunk FROM offs"""
+    sql["w18_streaks"] = """
+        WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                      FROM events),
+        anchored AS (
+          SELECT user_id,
+                 day - CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY day ASC) AS INT)
+                   AS anchor
+          FROM days),
+        runs AS (SELECT user_id, anchor, count(*) AS len FROM anchored
+                 GROUP BY user_id, anchor)
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+               count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+        FROM runs GROUP BY user_id"""
+    sql["t6_scd2"] = """
+        WITH marked AS (
+          SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS prev
+          FROM events),
+        changes AS (SELECT user_id, event_id, state, valid_from FROM marked
+                    WHERE prev IS NULL OR prev <> state)
+        SELECT user_id, event_id AS change_event, state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from ASC, event_id ASC)
+                 AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from ASC, event_id ASC)
+                 IS NULL AS is_current
+        FROM changes"""
     return sql

@@ -155,6 +155,12 @@ def test_bounded_shuffle_budgets(spark):
         # the tolerance is a pure post-projection: same budget as t1's
         # one-shuffle union-window as-of
         "t7_asof_tolerance": 2,
+        # (user, day) distinct + (user) window; both post-window aggs run
+        # on the window's existing partitioning
+        "w18_streaks": 2,
+        # lag mark, change filter, and lead close all share ONE (user)
+        # shuffle (same partitioning, same total order)
+        "t6_scd2": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
