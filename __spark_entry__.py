@@ -2584,28 +2584,30 @@ def _q_a15_bloom(spark, sf):
         return ((F.col("user_id") * a + b) % CMS_P) % BLOOM_M
 
     hashes = F.array(*[pos(a, b) for a, b in CMS_SALTS])
-    members = (
-        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    # ONE events scan + ONE user-keyed agg yields both the member flag and
+    # the probe universe; everything downstream stays on that partitioning
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("_m")
+    ).localCheckpoint(eager=True)
+    bits = (
+        users.filter(F.col("_m") == 1)
+        .select(F.explode(hashes).alias("bit"))
+        .distinct()
     )
-    bits = members.select(F.explode(hashes).alias("bit")).distinct()
-    probe = e.select("user_id").distinct()
     k_hit = (
-        probe.select("user_id", F.explode(hashes).alias("bit"))
+        users.select("user_id", F.explode(hashes).alias("bit"))
         .join(F.broadcast(bits), "bit", "left_semi")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("k_hit"))
     )
-    out = (
-        probe.join(k_hit, "user_id", "left")
-        .join(members.withColumn("is_member", F.lit(True)), "user_id", "left")
+    return (
+        users.join(k_hit, "user_id", "left")
         .select(
             "user_id",
-            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            (F.col("_m") == 1).alias("is_member"),
             (F.coalesce("k_hit", F.lit(0)) == len(CMS_SALTS)).alias("bloom_hit"),
         )
-    )
-    return out.withColumn(
-        "no_false_neg", F.col("bloom_hit") | ~F.col("is_member")
+        .withColumn("no_false_neg", F.col("bloom_hit") | ~F.col("is_member"))
     )
 
 
@@ -2754,6 +2756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
         # --- new in round 4 (never driver-checked) -------------------------
+        "a15_bloom": _q_a15_bloom,
+        "kg_star_join": _q_kg_star_join,
+        "ann_pq_adc": _q_ann_pq_adc,
         "w18_streaks": _q_w18_streaks,
         "t6_scd2": _q_t6_scd2,
         "w13_rolling_active": _q_w13_rolling_active,
@@ -4699,4 +4704,60 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY valid_from ASC, event_id ASC)
                  IS NULL AS is_current
         FROM changes"""
+    # Bloom oracle generated from the SAME salt constants and geometry as
+    # the Spark query (the CMS pattern): one UNION ALL branch per hash
+    _bloom_k = len(CMS_SALTS)
+    _bloom_member_bits = " UNION ALL ".join(
+        f"SELECT ((user_id * {a} + {b}) % {CMS_P}) % {BLOOM_M} AS bit FROM members"
+        for a, b in CMS_SALTS
+    )
+    _bloom_probe_bits = " UNION ALL ".join(
+        f"SELECT user_id, ((user_id * {a} + {b}) % {CMS_P}) % {BLOOM_M} AS bit FROM probe"
+        for a, b in CMS_SALTS
+    )
+    sql["a15_bloom"] = f"""
+        WITH members AS (SELECT DISTINCT user_id FROM events
+                         WHERE event_type = 'purchase'),
+        bits AS (SELECT DISTINCT bit FROM ({_bloom_member_bits})),
+        probe AS (SELECT DISTINCT user_id FROM events),
+        pb AS ({_bloom_probe_bits}),
+        hits AS (SELECT user_id, count(*) AS k_hit FROM pb
+                 WHERE bit IN (SELECT bit FROM bits) GROUP BY user_id)
+        SELECT p.user_id,
+               m.user_id IS NOT NULL AS is_member,
+               coalesce(h.k_hit, 0) = {_bloom_k} AS bloom_hit,
+               (coalesce(h.k_hit, 0) = {_bloom_k}) OR m.user_id IS NULL
+                 AS no_false_neg
+        FROM probe p
+        LEFT JOIN hits h ON h.user_id = p.user_id
+        LEFT JOIN members m ON m.user_id = p.user_id"""
+    sql["kg_star_join"] = f"""
+        WITH kg AS ({kg_varied}),
+        d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg)
+        SELECT w.subj_name AS who, w.obj_name AS workplace,
+               v.obj_name AS visited_place
+        FROM d w JOIN d v ON v.subj_name = w.subj_name AND v.pred = 'visited'
+        WHERE w.pred = 'works_at'"""
+    # ADC lookup-table oracle: one column per sub-space, same fixed-order
+    # 16-dim fold as the emb_pq_codes oracle it composes with
+    _adc_d = ", ".join(
+        "list_aggregate(list_transform(range(1, 17), "
+        f"i -> (q.qvec[{j} * 16 + i] - cents.cvec[{j} * 16 + i])"
+        f" * (q.qvec[{j} * 16 + i] - cents.cvec[{j} * 16 + i])), 'sum') AS d{j}"
+        for j in range(4)
+    )
+    sql["ann_pq_adc"] = f"""
+        WITH codes AS ({sql['emb_pq_codes']}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+        q AS (SELECT v AS qvec FROM e WHERE vec_id = 9),
+        lut AS (SELECT cent_id, {_adc_d} FROM cents CROSS JOIN q)
+        SELECT c.vec_id,
+               round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc_dist
+        FROM codes c
+        JOIN lut l0 ON l0.cent_id = c.code_0
+        JOIN lut l1 ON l1.cent_id = c.code_1
+        JOIN lut l2 ON l2.cent_id = c.code_2
+        JOIN lut l3 ON l3.cent_id = c.code_3
+        ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20"""
     return sql

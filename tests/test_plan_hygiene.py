@@ -161,6 +161,13 @@ def test_bounded_shuffle_budgets(spark):
         # lag mark, change filter, and lead close all share ONE (user)
         # shuffle (same partitioning, same total order)
         "t6_scd2": 1,
+        # one events scan + one user agg; bit-set distinct + its broadcast;
+        # k_hit reuses the user partitioning, final join reuses it too
+        "a15_bloom": 4,
+        # embeds the emb_pq_codes encode (codebook single-row agg + its
+        # broadcast) plus the 32-row LUT broadcast and 4 LUT hash joins —
+        # every exchange here is a broadcast of a <=32-row table
+        "ann_pq_adc": 10,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
