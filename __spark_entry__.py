@@ -10,6 +10,7 @@ values from the base tables).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -2744,18 +2745,143 @@ def _q_t6_scd2(spark, sf):
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+def _q_ann_rerank(spark, sf):
+    """Two-stage retrieval: PQ asymmetric-distance shortlist (top-20, the
+    16-bytes-per-vector scan from ann_pq_adc) -> exact float cosine rerank
+    of ONLY the shortlist -> top-5.  This is the production billion-vector
+    serving shape (IVF-PQ candidate scan + exact rerank): the full corpus is
+    touched only through its codes, and the expensive exact math runs on a
+    candidate set whose size is independent of corpus size.  The 20-row
+    shortlist is broadcast into the candidate semi-join, so the only
+    full-scan work is the parquet read of the 20 matching rows (vec_id
+    pushed to the scan would need a literal list — the broadcast hash join
+    is the distributed equivalent); ordering is deterministic via round(4)
+    cosine + vec_id tie-break on both engines."""
+    shortlist = _q_ann_pq_adc(spark, sf)  # (vec_id, adc_dist) top-20
+    emb = graft.load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 9).select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+    qn = math.sqrt(sum(x * x for x in qv))
+    cand = emb.join(F.broadcast(shortlist), "vec_id")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(x) for x in qv]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, z: acc + z
+        )
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "adc_dist",
+            F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def _q_g13_linkpred_ra(spark, sf):
+    """Resource-allocation link prediction over the strong-tie co-purchase
+    backbone (g8's substrate): RA(a,b) = sum over shared neighbors z of
+    1/deg(z), carried as exact int64 fixed-point (RA_SCALE div deg) so the
+    score is engine-portable without any float rounding contract — the
+    down-weighted sibling of g8's raw common-neighbor count (a shared
+    degree-2 middle is strong evidence; a shared hub is noise)."""
+    from plume_spark.operators.graph_metrics import (
+        co_occurrence_edges,
+        resource_allocation,
+    )
+
+    li = graft.load(spark, sf, "lineitem")
+    backbone = co_occurrence_edges(li, "l_orderkey", "l_partkey").filter(
+        F.col("n_groups") >= 2
+    )
+    return resource_allocation(backbone, max_degree=64)
+
+
+def _q_kg_neg_samples(spark, sf):
+    """Deterministic filtered negative sampling over the built KG — the
+    training-pair generator every KG-embedding loss (TransE/DistMult/...)
+    needs: for each positive triple, corrupt the object with a same-kind
+    entity chosen by portable hash, then FILTER corruptions that are
+    accidentally true (the standard 'filtered' protocol, Bordes et al.).
+
+    Determinism without RNG: the pick is poly_hash(subj|pred|obj) mod B
+    into a (kind, bucket) -> min(name) candidate dictionary (B=64 buckets
+    over the canonical entity table) — the same seedless portable-hash
+    policy as corpus_train_val_split / corpus_weighted_sample, so the same
+    triple draws the same negative on every run, executor count, and
+    engine (resume-safe by construction).  Scale: the entity dictionary is
+    broadcast-sized relative to the triple stream (it already fits the
+    flagship's broadcast joins); everything else is pure projection + one
+    anti-join against the positive set on its natural key."""
+    from plume_spark.operators.dedup import poly_hash
+
+    ents, named = _kg_flagship(spark, sf)
+    B = 64
+    pos = named.select("subj_name", "pred", "obj_name").distinct()
+    pool = (
+        ents.select(
+            "kind",
+            F.pmod(poly_hash(F.col("canonical_name")), F.lit(B)).alias("bucket"),
+            F.col("canonical_name").alias("cand"),
+        )
+        .groupBy("kind", "bucket")
+        .agg(F.min("cand").alias("neg_obj"))
+    )
+    obj_kind = ents.select(
+        F.col("canonical_name").alias("obj_name"), F.col("kind").alias("obj_kind")
+    )
+    picked = (
+        pos.join(F.broadcast(obj_kind), "obj_name")
+        .withColumn(
+            "pick_bucket",
+            F.pmod(
+                poly_hash(F.concat_ws("|", "subj_name", "pred", "obj_name")),
+                F.lit(B),
+            ),
+        )
+        .join(
+            F.broadcast(pool),
+            (F.col("obj_kind") == F.col("kind"))
+            & (F.col("pick_bucket") == F.col("bucket")),
+        )
+        .filter(F.col("neg_obj") != F.col("obj_name"))
+    )
+    truth = pos.select(
+        F.col("subj_name").alias("t_s"),
+        F.col("pred").alias("t_p"),
+        F.col("obj_name").alias("t_o"),
+    )
+    return picked.join(
+        truth,
+        (F.col("subj_name") == F.col("t_s"))
+        & (F.col("pred") == F.col("t_p"))
+        & (F.col("neg_obj") == F.col("t_o")),
+        "left_anti",
+    ).select("subj_name", "pred", "obj_name", "neg_obj")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 143 queries and ~92 never
+    # by the already-driver-proven core.  With 151 queries and ~100 never
     # driver-checked, the first 50 slots are all spent on never-checked
-    # names (zero wasted on re-checks); the ~42 never-checked names past the
+    # names (zero wasted on re-checks); the ~50 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
     # (green at sf0.001/0.01/0.1) and rotate into round 5's window.
     return {
         # --- new in round 4 (never driver-checked) -------------------------
+        "ann_rerank": _q_ann_rerank,
+        "g13_linkpred_ra": _q_g13_linkpred_ra,
+        "kg_neg_samples": _q_kg_neg_samples,
         "a15_bloom": _q_a15_bloom,
         "kg_star_join": _q_kg_star_join,
         "ann_pq_adc": _q_ann_pq_adc,
@@ -4212,6 +4338,11 @@ def oracle_sql() -> dict[str, str]:
     sql["g8_common_neighbors"] = common_neighbors_oracle_sql(
         f"SELECT a, b FROM ({_copurchase}) WHERE n_groups >= 2", max_degree=64
     )
+    from plume_spark.operators.graph_metrics import resource_allocation_oracle_sql
+
+    sql["g13_linkpred_ra"] = resource_allocation_oracle_sql(
+        f"SELECT a, b FROM ({_copurchase}) WHERE n_groups >= 2", max_degree=64
+    )
     from plume_spark.operators.graph_metrics import edge_lift_oracle_sql
 
     sql["g11_edge_lift"] = edge_lift_oracle_sql(
@@ -4760,4 +4891,45 @@ def oracle_sql() -> dict[str, str]:
         JOIN lut l2 ON l2.cent_id = c.code_2
         JOIN lut l3 ON l3.cent_id = c.code_3
         ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20"""
+    sql["ann_rerank"] = f"""
+        WITH adc AS ({sql['ann_pq_adc']}),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+              WHERE vec_id = 9)
+        SELECT a.vec_id, a.adc_dist,
+               CAST(round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE)
+                 AS cos_sim
+        FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id, q
+        ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 5"""
+
+    # portable poly hash over an arbitrary string SQL expression — the same
+    # fold as dedup.poly_hash / _POLY_ID, parameterized for reuse below
+    def _poly_expr(expr):
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split_regex({expr}, ''), c -> ascii(c))), "
+            f"(a, b) -> (a * {dedup.POLY_MUL} + b) % {dedup.MINHASH_P})"
+        )
+
+    sql["kg_neg_samples"] = f"""
+        WITH kg AS ({sql['kg_build_triples']}),
+        ents AS ({sql['kg_entities']}),
+        pos AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg),
+        pool AS (
+          SELECT kind, {_poly_expr('canonical_name')} % 64 AS bucket,
+                 min(canonical_name) AS neg_obj
+          FROM ents GROUP BY 1, 2),
+        picked AS (
+          SELECT p.subj_name, p.pred, p.obj_name, pool.neg_obj
+          FROM pos p
+          JOIN ents k ON k.canonical_name = p.obj_name
+          JOIN pool ON pool.kind = k.kind
+           AND pool.bucket =
+               {_poly_expr("concat_ws('|', p.subj_name, p.pred, p.obj_name)")} % 64
+          WHERE pool.neg_obj <> p.obj_name)
+        SELECT subj_name, pred, obj_name, neg_obj FROM picked pk
+        WHERE NOT EXISTS (SELECT 1 FROM pos t
+                          WHERE t.subj_name = pk.subj_name
+                            AND t.pred = pk.pred
+                            AND t.obj_name = pk.neg_obj)"""
     return sql

@@ -168,6 +168,18 @@ def test_bounded_shuffle_budgets(spark):
         # broadcast) plus the 32-row LUT broadcast and 4 LUT hash joins —
         # every exchange here is a broadcast of a <=32-row table
         "ann_pq_adc": 10,
+        # session-3 additions
+        # the full ADC chain (10) + ONE broadcast of the 20-row shortlist
+        # into the candidate join — the exact rerank adds no wide exchange
+        "ann_rerank": 11,
+        # same wedge topology as g8 minus the two degree re-joins (the
+        # fixed-point weight rides the wedge rows): sym degree agg, capped
+        # mid join, pair agg, adjacency anti-join
+        "g13_linkpred_ra": 7,
+        # distinct positives + broadcast kind dim + broadcast 64-bucket
+        # pool + anti-join vs the positive set, all over the memoized
+        # flagship checkpoint
+        "kg_neg_samples": 6,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
