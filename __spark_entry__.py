@@ -2867,12 +2867,111 @@ def _q_kg_neg_samples(spark, sf):
     ).select("subj_name", "pred", "obj_name", "neg_obj")
 
 
+def _q_corpus_chunk_windows(spark, sf):
+    """Sliding token-window chunking (W=64, stride S=48, 16-token overlap)
+    — the context-window preparation step between cleaning and packing in
+    every LLM training pipeline (corpus_pack_chunks packs whole docs into a
+    budget; this SPLITS long docs into overlapping model-sized windows).
+    Chunk starts are the multiples of S below the token count, so the chunk
+    set is a pure function of the text: no RNG, no state, resume-safe.
+
+    Scale: tokenize + sequence + posexplode + slice is a zero-wide-shuffle
+    projection chain (budget-asserted) — it streams at scan speed over
+    100 TB.  Each chunk carries its exact token count and a portable
+    poly-hash fingerprint of the joined tokens, so the value gate checks
+    the chunk CONTENT, not just the fan-out arithmetic."""
+    from plume_spark.operators.dedup import poly_hash
+
+    W, S = 64, 48
+    d = graft.load(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    t = t.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0), ((F.size("toks") - 1) / S).cast("int"))),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W)
+    return t.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        poly_hash(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+def _q_text_zipf_slope(spark, sf):
+    """Zipf-law fit per source: OLS slope of ln(freq) on ln(rank) over the
+    top-100 token ranks — the distributional-health read (natural text sits
+    near -1; templated/spammy sources flatten or steepen) that complements
+    text_word_entropy's per-doc diversity signal with a per-corpus one.
+    Ranks are deterministic (freq desc, token asc row_number); the slope is
+    computed with the SAME closed-form moment formula on both engines
+    (DuckDB's regr_slope uses a mean-shifted accumulation that rounds
+    differently) and round(6) absorbs the <=1e-12 float-sum divergence of
+    100 ln terms.  Scale: one (source, tok) partial agg + a top-100 window
+    per source + a 100-row final agg — nothing global."""
+    d = graft.load(spark, sf, "documents")
+    tok = d.select(
+        "source", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    freq = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("tok").asc())
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    m = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select("source", "n_ranks", F.round(slope, 6).alias("zipf_slope"))
+
+
+def _q_w19_attribution(spark, sf):
+    """Linear multi-touch attribution: each purchase splits its credit
+    equally across the user's view events in the preceding 7 days — the
+    marketing-analytics join family (w12_time_to_convert measures the
+    latency of the FIRST touch; this enumerates and weights ALL touches).
+    The per-touch credit is carried as exact ppm fixed-point
+    (1000000 div n_touches) — no float division contract — and the touch
+    window edges are exact timestamp arithmetic (min/max view ts).
+
+    Scale: one user-keyed equi-join carries the range predicate (AQE
+    skew-handles hot users), then one purchase-keyed partial agg; per-user
+    touch volume bounds the fan-out, and the 7-day bound keeps state
+    finite under incremental re-runs."""
+    e = graft.load(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    j = p.join(v, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.expr("1000000L div count(1)").alias("credit_ppm"),
+        F.min("v_ts").alias("first_view_ts"),
+        F.max("v_ts").alias("last_view_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 151 queries and ~100 never
+    # by the already-driver-proven core.  With 154 queries and ~103 never
     # driver-checked, the first 50 slots are all spent on never-checked
     # names (zero wasted on re-checks); the ~50 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
@@ -2882,6 +2981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rerank": _q_ann_rerank,
         "g13_linkpred_ra": _q_g13_linkpred_ra,
         "kg_neg_samples": _q_kg_neg_samples,
+        "corpus_chunk_windows": _q_corpus_chunk_windows,
+        "text_zipf_slope": _q_text_zipf_slope,
+        "w19_attribution": _q_w19_attribution,
         "a15_bloom": _q_a15_bloom,
         "kg_star_join": _q_kg_star_join,
         "ann_pq_adc": _q_ann_pq_adc,
@@ -4932,4 +5034,49 @@ def oracle_sql() -> dict[str, str]:
                           WHERE t.subj_name = pk.subj_name
                             AND t.pred = pk.pred
                             AND t.obj_name = pk.neg_obj)"""
+    sql["corpus_chunk_windows"] = f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+        ix AS (SELECT doc_id, toks,
+                      unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx
+               FROM nn),
+        ch AS (SELECT doc_id, chunk_idx,
+                      toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)] AS chunk
+               FROM ix)
+        SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+               {_poly_expr("array_to_string(chunk, ' ')")} AS chunk_fp
+        FROM ch"""
+    sql["text_zipf_slope"] = """
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        freq AS (SELECT source, tok, count(*) AS freq FROM tok
+                 WHERE tok <> '' GROUP BY source, tok),
+        top AS (SELECT source, freq,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY freq DESC, tok ASC) AS rank
+                FROM freq QUALIFY rank <= 100),
+        m AS (SELECT source, count(*) AS n_ranks,
+                     sum(ln(CAST(rank AS DOUBLE))) AS sx,
+                     sum(ln(CAST(freq AS DOUBLE))) AS sy,
+                     sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+                     sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+              FROM top GROUP BY source)
+        SELECT source, n_ranks,
+               CAST(round((n_ranks * sxy - sx * sy)
+                          / (n_ranks * sxx - sx * sx), 6) AS DOUBLE)
+                 AS zipf_slope
+        FROM m"""
+    sql["w19_attribution"] = """
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view')
+        SELECT p.purchase_id, count(*) AS n_touches,
+               1000000 // count(*) AS credit_ppm,
+               min(v.v_ts) AS first_view_ts, max(v.v_ts) AS last_view_ts
+        FROM p JOIN v ON v.user_id = p.user_id
+         AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 7 DAY
+        GROUP BY p.purchase_id"""
     return sql

@@ -35,7 +35,7 @@ def test_scan_speed_ops_have_zero_shuffles(spark):
     for name in ("text_pii_scrub", "text_quality_logreg", "emb_quantize",
                  "corpus_repetition", "text_quality", "text_fingerprint",
                  "text_readability", "ann_range_search",
-                 "corpus_gopher_rules"):
+                 "corpus_gopher_rules", "corpus_chunk_windows"):
         plan = _plan(spark, name)
         assert _exchanges(plan) == 0, (name, plan[:1200])
 
@@ -180,6 +180,12 @@ def test_bounded_shuffle_budgets(spark):
         # pool + anti-join vs the positive set, all over the memoized
         # flagship checkpoint
         "kg_neg_samples": 6,
+        # (source, tok) partial agg + the top-100 window; the moment agg
+        # runs on the window's existing (source) partitioning
+        "text_zipf_slope": 2,
+        # ONE user-keyed equi-join carrying the 7-day range predicate +
+        # the purchase-keyed partial agg
+        "w19_attribution": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
