@@ -2966,12 +2966,180 @@ def _q_w19_attribution(spark, sf):
     )
 
 
+def _q_ann_ivf_adc(spark, sf):
+    """The full IVF-PQ serving stack: coarse quantizer (ann_ivf_topk's
+    deterministic 8-centroid assignment) restricts the scan to the query's
+    2 probed cells, then PQ asymmetric distance (ann_pq_adc's 32-entry
+    lookup table) ranks the members WITHOUT touching their float vectors —
+    the composition every billion-vector index actually runs (coarse probe
+    prunes ~n_probe/n_centroids of the corpus; ADC makes the surviving scan
+    memory-bound at 16 bytes/vector).  All three pieces reuse the exact
+    operators the gate already pins (ivf_assign, emb_pq_codes, the LUT),
+    so this checks the COMPOSITION, not new math.  Output keeps cent_id so
+    the oracle also value-checks the cell routing."""
+    from plume_spark.operators.similarity import ivf_assign
+
+    emb = graft.load(spark, sf, "embeddings")
+    assigned, cents, cos = ivf_assign(emb, n_centroids=8)
+    q = emb.filter(F.col("vec_id") == 9).select(F.col("embedding").alias("qvec"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", cos(F.col("cvec"), F.col("qvec")).alias("sim"))
+        .orderBy(F.col("sim").desc(), "cent_id")
+        .limit(2)
+        .select("cent_id")
+    )
+    members = assigned.select("vec_id", "cent_id").join(F.broadcast(probe), "cent_id")
+    # ADC over the probed members only: same LUT construction as ann_pq_adc
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", vec_d.alias("v"))
+    lut_cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("lut_cent"), F.col("v").alias("cvec")
+    )
+    qd = e.filter(F.col("vec_id") == 9).select(F.col("v").alias("qvec"))
+
+    def subdist(j):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qvec"), j * 16 + 1, 16),
+                F.slice(F.col("cvec"), j * 16 + 1, 16),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    lut = lut_cents.crossJoin(F.broadcast(qd)).select(
+        "lut_cent", *[subdist(j).alias(f"d{j}") for j in range(4)]
+    )
+    codes = members.join(_q_emb_pq_codes(spark, sf), "vec_id")
+    for j in range(4):
+        lj = lut.select(F.col("lut_cent").alias(f"code_{j}"), f"d{j}")
+        codes = codes.join(F.broadcast(lj), f"code_{j}")
+    return (
+        codes.select(
+            "vec_id",
+            "cent_id",
+            F.round(
+                F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _q_corpus_decon_bloom(spark, sf):
+    """Bloom-filter decontamination — the sub-linear production variant of
+    corpus_decon_overlap: the eval suite's distinct 5-grams are folded into
+    a 4-hash/8192-bit filter (a15_bloom's affine hash family over the
+    portable poly-hash gram id), the filter is broadcast, and every train
+    gram probes it with per-row arithmetic.  At 100 TB the exact eval gram
+    set may be too wide to broadcast-join against every shard cheaply; the
+    bit array is a fixed 1 KB regardless of eval size, and only
+    bloom-positive grams would pay a real verification join.  Output per
+    train doc: gram count, bloom-positive count, exact overlap count, and
+    the no-false-negative contract (every exact hit is bloom-positive —
+    guaranteed by construction, asserted per doc under the value gate;
+    n_bloom - n_exact is the false-positive overhead the 1 KB buys)."""
+    from plume_spark.operators.corpus import EVAL_MOD
+    from plume_spark.operators.dedup import poly_hash, shingles
+
+    d = graft.load(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tg = shingles(train, n=5).localCheckpoint(eager=True)  # (doc_id, tok)
+    eg = shingles(ev, n=5).select("tok").distinct()
+
+    def bloom_bits(gid):
+        return F.array(*[((gid * a + b) % CMS_P) % BLOOM_M for a, b in CMS_SALTS])
+
+    bits = (
+        eg.select(F.explode(bloom_bits(poly_hash(F.col("tok")))).alias("bit"))
+        .distinct()
+    )
+    k_hit = (
+        tg.select(
+            "doc_id", "tok",
+            F.explode(bloom_bits(poly_hash(F.col("tok")))).alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    flagged = (
+        tg.join(k_hit, ["doc_id", "tok"], "left")
+        .join(
+            F.broadcast(eg.withColumn("_e", F.lit(1))), "tok", "left"
+        )
+        .select(
+            "doc_id",
+            (F.coalesce("k", F.lit(0)) == len(CMS_SALTS)).cast("int").alias("bpos"),
+            F.coalesce("_e", F.lit(0)).alias("exact"),
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("bpos").alias("n_bloom_hits"),
+        F.sum("exact").alias("n_exact"),
+        F.min((F.col("bpos") >= F.col("exact")).cast("int")).cast("boolean").alias(
+            "no_false_neg"
+        ),
+    )
+
+
+def _q_emb_matryoshka(spark, sf):
+    """Matryoshka-truncation retrieval audit: rank the corpus by cosine on
+    the FIRST 16 dimensions only (the cheap prefix a truncated-embedding
+    index would store — 4x less memory and bandwidth) and report, for the
+    prefix top-10, whether each hit is also in the full-64-dim exact top-10
+    — the overlap@k reading that decides whether prefix truncation is safe
+    for a given corpus before committing the index build.  Both rankings
+    are deterministic (round(4) + vec_id tie-break), and the full-dim side
+    reuses the exact ranking contract ann_cosine_topk pins."""
+    emb = graft.load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+
+    def scored(dim):
+        qs = qv[:dim]
+        qn = math.sqrt(sum(x * x for x in qs))
+        v = F.transform(
+            F.slice(F.col("embedding"), 1, dim), lambda x: x.cast("double")
+        )
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in qs]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, z: a + z
+            )
+        )
+        return emb.select(
+            "vec_id", F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sim")
+        ).orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+    trunc = scored(16).withColumnRenamed("cos_sim", "trunc_cos")
+    full = scored(64).select(F.col("vec_id").alias("f_id")).withColumn(
+        "_hit", F.lit(1)
+    )
+    return trunc.join(
+        F.broadcast(full), trunc["vec_id"] == full["f_id"], "left"
+    ).select(
+        "vec_id",
+        "trunc_cos",
+        (F.coalesce("_hit", F.lit(0)) == 1).alias("in_full_topk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 154 queries and ~103 never
+    # by the already-driver-proven core.  With 157 queries and ~106 never
     # driver-checked, the first 50 slots are all spent on never-checked
     # names (zero wasted on re-checks); the ~50 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
@@ -2984,6 +3152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_windows": _q_corpus_chunk_windows,
         "text_zipf_slope": _q_text_zipf_slope,
         "w19_attribution": _q_w19_attribution,
+        "ann_ivf_adc": _q_ann_ivf_adc,
+        "corpus_decon_bloom": _q_corpus_decon_bloom,
+        "emb_matryoshka": _q_emb_matryoshka,
         "a15_bloom": _q_a15_bloom,
         "kg_star_join": _q_kg_star_join,
         "ann_pq_adc": _q_ann_pq_adc,
@@ -5079,4 +5250,85 @@ def oracle_sql() -> dict[str, str]:
         FROM p JOIN v ON v.user_id = p.user_id
          AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 7 DAY
         GROUP BY p.purchase_id"""
+    # IVF-PQ composition: the ann_ivf_topk assignment/probe CTEs (query
+    # vec 9) feed the ann_pq_adc LUT — _adc_d reused verbatim (same q/cents
+    # aliases), so the two oracles cannot drift apart
+    sql["ann_ivf_adc"] = f"""
+        WITH codes AS ({sql['emb_pq_codes']}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+        q AS (SELECT v AS qvec FROM e WHERE vec_id = 9),
+        assigned AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+                              c.cent_id) AS rk
+            FROM e CROSS JOIN cents c)
+          WHERE rk = 1),
+        probe AS (
+          SELECT cent_id FROM cents, q
+          ORDER BY list_cosine_similarity(cvec, qvec) DESC, cent_id LIMIT 2),
+        lut AS (SELECT cent_id AS lut_cent, {_adc_d} FROM cents CROSS JOIN q),
+        m AS (SELECT a.vec_id, a.cent_id
+              FROM assigned a JOIN probe p USING (cent_id))
+        SELECT m.vec_id, m.cent_id,
+               round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc_dist
+        FROM m JOIN codes c ON c.vec_id = m.vec_id
+        JOIN lut l0 ON l0.lut_cent = c.code_0
+        JOIN lut l1 ON l1.lut_cent = c.code_1
+        JOIN lut l2 ON l2.lut_cent = c.code_2
+        JOIN lut l3 ON l3.lut_cent = c.code_3
+        ORDER BY adc_dist ASC, m.vec_id ASC LIMIT 10"""
+    _eval_bits = " UNION ALL ".join(
+        f"SELECT ((gid * {a} + {b}) % {CMS_P}) % {BLOOM_M} AS bit FROM egid"
+        for a, b in CMS_SALTS
+    )
+    sql["corpus_decon_bloom"] = (
+        gram5
+        + f""",
+        eg AS (SELECT DISTINCT tok FROM g WHERE doc_id % {corpus.EVAL_MOD} = 0),
+        tg AS (SELECT doc_id, tok FROM g WHERE doc_id % {corpus.EVAL_MOD} <> 0),
+        egid AS (SELECT {_poly_expr('tok')} AS gid FROM eg),
+        bits AS (SELECT DISTINCT bit FROM ({_eval_bits})),
+        tgid AS (SELECT doc_id, tok, {_poly_expr('tok')} AS gid FROM tg),
+        tbits AS (
+          SELECT doc_id, tok, bit FROM (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, tok, ((gid * {a} + {b}) % {CMS_P}) % {BLOOM_M}"
+                f" AS bit FROM tgid" for a, b in CMS_SALTS)})),
+        kh AS (SELECT doc_id, tok, count(*) AS k
+               FROM tbits JOIN bits USING (bit) GROUP BY doc_id, tok),
+        fl AS (SELECT t.doc_id,
+                      CASE WHEN coalesce(kh.k, 0) = {len(CMS_SALTS)}
+                           THEN 1 ELSE 0 END AS bpos,
+                      CASE WHEN eg.tok IS NOT NULL THEN 1 ELSE 0 END AS exact
+               FROM tg t
+               LEFT JOIN kh ON kh.doc_id = t.doc_id AND kh.tok = t.tok
+               LEFT JOIN eg ON eg.tok = t.tok)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(bpos) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(exact) AS BIGINT) AS n_exact,
+               min(CASE WHEN bpos >= exact THEN 1 ELSE 0 END) = 1 AS no_false_neg
+        FROM fl GROUP BY doc_id"""
+    )
+    sql["emb_matryoshka"] = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                   WHERE vec_id = 0),
+        tr AS (SELECT vec_id,
+                      CAST(round(list_cosine_similarity(
+                             CAST(embedding AS DOUBLE[])[1:16], q.qe[1:16]), 4)
+                        AS DOUBLE) AS trunc_cos
+               FROM embeddings, q
+               ORDER BY trunc_cos DESC, vec_id LIMIT 10),
+        fl AS (SELECT vec_id FROM (
+                 SELECT vec_id,
+                        round(list_cosine_similarity(
+                          CAST(embedding AS DOUBLE[]), q.qe), 4) AS c
+                 FROM embeddings, q ORDER BY c DESC, vec_id LIMIT 10))
+        SELECT t.vec_id, t.trunc_cos,
+               EXISTS (SELECT 1 FROM fl WHERE fl.vec_id = t.vec_id)
+                 AS in_full_topk
+        FROM tr t"""
     return sql

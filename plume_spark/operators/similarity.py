@@ -397,22 +397,17 @@ def quantize_embeddings(
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8,
-    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    strategy: str = "auto",
-) -> DataFrame:
-    """IVF-flat approximate top-k: centroids = the first ``n_centroids``
-    vectors by id (deterministic seeding, KMeans-free); every vector is
-    assigned to its nearest centroid; the query probes its ``n_probe``
-    nearest cells and scores only those members.
-
-    The centroid table is tiny -> broadcast; assignment is one map-side pass.
-    The cosine kernel appears in THREE stages (assignment, probe selection,
-    final scoring), each a separate whole-stage-codegen compilation of the
-    unrolled form — so the codegen-vs-HOF auto choice matters 3x here (same
-    trade and same bit-identical fold as brute_force_topk/lsh_buckets).
-    """
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", strategy: str = "auto",
+):
+    """The coarse-quantizer stage shared by IVF-flat (ivf_topk) and IVF-PQ
+    (the ann_ivf_adc contract query): centroids = the first ``n_centroids``
+    vectors by id (deterministic seeding, KMeans-free); every vector joins
+    its nearest centroid via a broadcast cross join + one per-vector
+    row_number.  Returns (assigned(vec_id, emb, cent_id), cents, cos) —
+    cos is the strategy-resolved cosine kernel so downstream stages score
+    with the bit-identical fold the assignment used."""
     strategy = _resolve_strategy(embeddings, strategy)
     if strategy == "codegen":
         dim = infer_dim(embeddings, vec_col)  # only the unrolled form needs it
@@ -441,6 +436,29 @@ def ivf_topk(
         )
         .filter(F.col("rk") == 1)
         .select("vec_id", "emb", "cent_id")
+    )
+    return assigned, cents, cos
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """IVF-flat approximate top-k: centroids = the first ``n_centroids``
+    vectors by id (deterministic seeding, KMeans-free); every vector is
+    assigned to its nearest centroid; the query probes its ``n_probe``
+    nearest cells and scores only those members.
+
+    The centroid table is tiny -> broadcast; assignment is one map-side pass.
+    The cosine kernel appears in THREE stages (assignment, probe selection,
+    final scoring), each a separate whole-stage-codegen compilation of the
+    unrolled form — so the codegen-vs-HOF auto choice matters 3x here (same
+    trade and same bit-identical fold as brute_force_topk/lsh_buckets).
+    """
+    assigned, cents, cos = ivf_assign(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        strategy=strategy,
     )
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")

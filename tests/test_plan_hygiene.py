@@ -186,6 +186,15 @@ def test_bounded_shuffle_budgets(spark):
         # ONE user-keyed equi-join carrying the 7-day range predicate +
         # the purchase-keyed partial agg
         "w19_attribution": 2,
+        # IVF assignment window + probe/member broadcasts + the full ADC
+        # chain — every exchange beyond the one assignment window shuffle
+        # is a broadcast of a <=32-row table
+        "ann_ivf_adc": 15,
+        # shingle distinct + eval-gram distinct + 8192-bit set + per-gram
+        # k-hit agg + the doc tally; the bit table broadcasts
+        "corpus_decon_bloom": 8,
+        # two TakeOrderedAndProject top-10s + ONE 10-row broadcast join
+        "emb_matryoshka": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
