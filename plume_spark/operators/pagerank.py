@@ -164,6 +164,93 @@ def hits_oracle_sql(edges_sql: str, n_iters: int = 2) -> str:
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    n_iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass returns to the SEED set
+    instead of spreading uniformly — the "entities related to X" primitive
+    for KG exploration and recommendation candidate generation (global
+    PageRank answers "what is important"; PPR answers "what is important
+    NEAR these nodes").  ``seeds`` is a 1-column DataFrame of node ids;
+    r0 = 1 on seeds / 0 elsewhere, r_{i+1} = (1-d)*seed_ind + d*push.
+
+    Scale: identical per-iteration shape to :func:`pagerank` (one map-side
+    combined shuffle per iteration, rank table node-sized, checkpoint
+    lineage truncation); the seed indicator is a broadcast-sized dimension
+    joined once.  Because teleport mass is confined to the seeds, ranks
+    decay geometrically with hop distance — at web scale the result is
+    effectively sparse and a rank_ppm > 0 filter prunes it for free."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s = seeds.toDF("node").distinct().withColumn("_s", F.lit(1))
+    ind = nodes.join(F.broadcast(s), "node", "left").select(
+        "node", F.coalesce(F.col("_s"), F.lit(0)).cast("double").alias("ind")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = ind.select("node", F.col("ind").alias("r"))
+    for i in range(n_iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = ind.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("ind")
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node", F.round(F.col("r") * 1_000_000).cast("long").alias("rank_ppm")
+    ).filter(F.col("rank_ppm") > 0)
+
+
+def ppr_oracle_sql(
+    edges_sql: str, seeds_sql: str, n_iters: int = 3, damping: float = 0.85
+) -> str:
+    """Unrolled-CTE twin of :func:`personalized_pagerank` — ``edges_sql``
+    selects (subj, obj), ``seeds_sql`` selects one column aliased ``node``."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"s AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "ind AS (SELECT n.node, CASE WHEN EXISTS (SELECT 1 FROM s WHERE "
+        "s.node = n.node) THEN 1.0 ELSE 0.0 END AS ind FROM nodes n)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, ind AS r FROM ind)",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, {1.0 - d} * n.ind + {d} * "
+            f"COALESCE(SUM(r{i}.r / deg.out_deg), 0) AS r "
+            f"FROM ind n LEFT JOIN e ON e.dst = n.node "
+            f"LEFT JOIN deg ON deg.src = e.src "
+            f"LEFT JOIN r{i} ON r{i}.node = e.src GROUP BY n.node, n.ind)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_ppm"
+        f" FROM r{n_iters} WHERE ROUND(r * 1000000) > 0"
+    )
+
+
 def pagerank_oracle_sql(edges_sql: str, n_iters: int = 3, damping: float = 0.85) -> str:
     """The exact computation above as unrolled SQL CTEs (DuckDB-runnable):
     ``edges_sql`` must select columns (subj, obj).  Kept next to the operator

@@ -195,6 +195,13 @@ def test_bounded_shuffle_budgets(spark):
         "corpus_decon_bloom": 8,
         # two TakeOrderedAndProject top-10s + ONE 10-row broadcast join
         "emb_matryoshka": 1,
+        # 3 unrolled iterations x (rank join + degree join + contribution
+        # agg) over the checkpointed node/indicator tables — the rank table
+        # shuffles each round, the edge exchange is AQE-reused
+        "g14_ppr": 21,
+        # assignment window + the (cent, dim) partial agg; the 8-row
+        # centroid table broadcasts
+        "emb_kmeans_step": 3,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
