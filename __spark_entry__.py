@@ -3192,12 +3192,92 @@ def _q_emb_kmeans_step(spark, sf):
     )
 
 
+def _q_kg_rule_confidence(spark, sf):
+    """AMIE-style implication mining over the built KG: for every ordered
+    predicate pair (p -> q, p != q), the support |{(s,o): p(s,o) AND
+    q(s,o)}| and confidence support/|p| — the rule-quality read that
+    surfaces redundant or entailed relations (e.g. 'works_at(s,o) usually
+    implies visited(s,o)') before schema curation or KG-embedding
+    training.  Runs on the VARIED substrate where subjects can hold
+    multiple predicates toward the same object.  The self-join keys on the
+    (subj, obj) pair both sides already carry — co-partitioned at scale —
+    and everything downstream is predicate-pair-sized (bounded by the
+    closed vocabulary squared)."""
+    _, named = _kg_flagship(spark, sf, substrate="varied")
+    d = named.select("subj_name", "pred", "obj_name").distinct()
+    q = d.select(
+        "subj_name", F.col("pred").alias("pred_q"), "obj_name"
+    )
+    pairs = (
+        d.join(q, ["subj_name", "obj_name"])
+        .filter(F.col("pred") != F.col("pred_q"))
+        .groupBy(F.col("pred").alias("antecedent"), F.col("pred_q").alias("consequent"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    n_p = d.groupBy(F.col("pred").alias("antecedent")).agg(
+        F.count(F.lit(1)).alias("n_antecedent")
+    )
+    return pairs.join(n_p, "antecedent").select(
+        "antecedent",
+        "consequent",
+        "support",
+        "n_antecedent",
+        F.round(
+            F.col("support").cast("double") / F.col("n_antecedent"), 6
+        ).alias("confidence"),
+    )
+
+
+def _q_a16_group_skewness(spark, sf):
+    """Per-group third-moment skewness with a fully deterministic
+    cross-engine contract: values are quantized to exact centi-unit int64
+    (the source carries 2 decimals, so this is lossless), the three power
+    sums are EXACT (iv^3 <= 1.8e14 fits int64 per row; sums accumulate in
+    decimal(38,0), associative under any merge order), and the final
+    float skewness is one fixed expression over those identical exact
+    moments — the same quantize-then-exact-sum determinism pattern as
+    emb_centroids/a1, extended to a higher moment.  The exact sums ride
+    along in the output so the value gate pins THEM, not just the derived
+    float.  Shape: ONE map-side-combinable partial agg; nothing global."""
+    e = graft.load(spark, sf, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    d = e.select(
+        "event_type",
+        iv.alias("x"),
+        (iv * iv).alias("x2"),
+        (iv * iv * iv).alias("x3"),
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.col("x3").cast("decimal(38,0)")).alias("s3"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - m1 * m1
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - F.lit(3.0) * m1 * (F.col("s2").cast("double") / nd)
+        + F.lit(2.0) * m1 * m1 * m1
+    )
+    sd = F.sqrt(m2)
+    return m.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        F.round(m3 / (sd * sd * sd), 6).alias("skewness"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 159 queries and ~108 never
+    # by the already-driver-proven core.  With 161 queries and ~110 never
     # driver-checked, the first 50 slots are all spent on never-checked
     # names (zero wasted on re-checks); the ~50 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
@@ -3215,6 +3295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka": _q_emb_matryoshka,
         "g14_ppr": _q_g14_ppr,
         "emb_kmeans_step": _q_emb_kmeans_step,
+        "kg_rule_confidence": _q_kg_rule_confidence,
+        "a16_group_skewness": _q_a16_group_skewness,
         "a15_bloom": _q_a15_bloom,
         "kg_star_join": _q_kg_star_join,
         "ann_pq_adc": _q_ann_pq_adc,
@@ -5422,4 +5504,48 @@ def oracle_sql() -> dict[str, str]:
                  AS centroid,
                count(*) AS n_members
         FROM x GROUP BY cent_id, dim"""
+    sql["kg_rule_confidence"] = f"""
+        WITH kg AS ({kg_varied}),
+        d AS (SELECT DISTINCT subj_name, pred, obj_name FROM kg),
+        pairs AS (
+          SELECT a.pred AS antecedent, b.pred AS consequent,
+                 count(*) AS support
+          FROM d a JOIN d b ON b.subj_name = a.subj_name
+                           AND b.obj_name = a.obj_name
+                           AND b.pred <> a.pred
+          GROUP BY a.pred, b.pred),
+        np AS (SELECT pred AS antecedent, count(*) AS n_antecedent
+               FROM d GROUP BY pred)
+        SELECT p.antecedent, p.consequent, p.support, np.n_antecedent,
+               round(CAST(p.support AS DOUBLE) / np.n_antecedent, 6)
+                 AS confidence
+        FROM pairs p JOIN np USING (antecedent)"""
+    sql["a16_group_skewness"] = """
+        WITH q AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events),
+        m AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+                     CAST(sum(x * x) AS DECIMAL(38,0)) AS s2,
+                     CAST(sum(x * x * x) AS DECIMAL(38,0)) AS s3
+              FROM q GROUP BY event_type)
+        SELECT event_type, n, s1, s2, s3,
+               round((CAST(s3 AS DOUBLE) / n
+                      - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s2 AS DOUBLE) / n)
+                      + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n))
+                     / (sqrt(CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n)
+                               * (CAST(s1 AS DOUBLE) / n))
+                        * sqrt(CAST(s2 AS DOUBLE) / n
+                               - (CAST(s1 AS DOUBLE) / n)
+                                 * (CAST(s1 AS DOUBLE) / n))
+                        * sqrt(CAST(s2 AS DOUBLE) / n
+                               - (CAST(s1 AS DOUBLE) / n)
+                                 * (CAST(s1 AS DOUBLE) / n))), 6)
+                 AS skewness
+        FROM m"""
     return sql

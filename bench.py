@@ -74,6 +74,17 @@ HEADLINE = [
     "g12_hits",
     "w13_rolling_active",
     "corpus_gopher_rules",
+    # round-4 session-3 additions (same policy): the IVF-PQ serving
+    # composition, the sub-linear bloom decon probe, the scan-speed token
+    # chunker, the fixed-point link-prediction wedge fold, the seeded
+    # sparse PPR loop, and the touch-attribution range join; kg_neg_samples
+    # re-runs the flagship build and is covered by the flagship benches
+    "ann_ivf_adc",
+    "corpus_decon_bloom",
+    "corpus_chunk_windows",
+    "g13_linkpred_ra",
+    "g14_ppr",
+    "w19_attribution",
 ]
 
 

@@ -202,6 +202,11 @@ def test_bounded_shuffle_budgets(spark):
         # assignment window + the (cent, dim) partial agg; the 8-row
         # centroid table broadcasts
         "emb_kmeans_step": 3,
+        # triple distinct + (subj,obj) self-join + pair agg + antecedent
+        # agg over the memoized flagship checkpoint
+        "kg_rule_confidence": 8,
+        # ONE map-side-combinable partial agg over the events scan
+        "a16_group_skewness": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
