@@ -519,3 +519,128 @@ def test_vectorized_kernel_equals_loop(texts):
         return sorted(out)
 
     assert canon(_extract_part_vec(pdf.copy())) == canon(_extract_part_loop(pdf.copy()))
+
+
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=40))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_resource_allocation_matches_bruteforce(spark, raw_edges):
+    """Wedge-join RA scores == adjacency-set brute force on random graphs
+    (uncapped).  The fixed-point weight RA_SCALE div deg(z) must sum to the
+    identical int64 on both paths — no tolerance."""
+    from itertools import combinations
+
+    from plume_spark.operators.graph_metrics import RA_SCALE, resource_allocation
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expected = {}
+    for x, y in combinations(sorted(adj), 2):
+        if y in adj[x]:
+            continue
+        common = adj[x] & adj[y]
+        if common:
+            expected[(x, y)] = (
+                len(common),
+                sum(RA_SCALE // len(adj[z]) for z in common),
+            )
+    e = spark.createDataFrame(edges, ["a", "b"])
+    got = {(r["a"], r["b"]): (r["common"], r["ra_score"])
+           for r in resource_allocation(e, max_degree=10**6).collect()}
+    assert got == expected
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=30),
+    st.sets(st.integers(0, 11), min_size=1, max_size=3),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_personalized_pagerank_matches_bruteforce(spark, raw_edges, seeds):
+    """PPR joins == Python dict iteration of the identical recurrence on
+    random directed graphs; ppm rounding gives at most 1 ulp-of-ppm slack
+    (float sum order differs between the two paths)."""
+    from plume_spark.operators.pagerank import personalized_pagerank
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    seed_set = {s for s in seeds if s in nodes}
+    if not seed_set:
+        return
+    out: dict[int, list[int]] = {}
+    for s, d_ in edges:
+        out.setdefault(s, []).append(d_)
+    r = {n: (1.0 if n in seed_set else 0.0) for n in nodes}
+    for _ in range(3):
+        push: dict[int, float] = {n: 0.0 for n in nodes}
+        for s, ds in out.items():
+            for d_ in ds:
+                push[d_] += r[s] / len(ds)
+        r = {
+            n: 0.15 * (1.0 if n in seed_set else 0.0) + 0.85 * push[n]
+            for n in nodes
+        }
+    expected = {n: round(v * 1_000_000) for n, v in r.items() if round(v * 1e6) > 0}
+    e = spark.createDataFrame(edges, ["subj", "obj"])
+    sdf = spark.createDataFrame([(s,) for s in sorted(seed_set)], ["node"])
+    got = {r_["node"]: r_["rank_ppm"]
+           for r_ in personalized_pagerank(e, sdf, n_iters=3).collect()}
+    assert set(got) == set(expected)
+    for n in expected:
+        assert abs(got[n] - expected[n]) <= 1, (n, got[n], expected[n])
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=400), min_size=1, max_size=6))
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_windows_cover_and_overlap(spark, texts):
+    """Sliding-window chunking invariants on random texts: chunk 0 starts at
+    token 0; consecutive chunk starts differ by exactly the stride; every
+    token position is covered; all but the last chunk of a doc have
+    min(W, n) tokens; token counts reconstruct the doc length as
+    n == (n_chunks - 1) * S + last_chunk_len."""
+    import __spark_entry__ as entrymod
+
+    W, S = 64, 48
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # drive the registered query body on a temp view-backed loader shim
+    from plume_spark.operators.dedup import poly_hash
+
+    toks_col = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = df.select("doc_id", toks_col.alias("toks")).filter(F.size("toks") > 0)
+    t = t.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0), ((F.size("toks") - 1) / S).cast("int"))),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W)
+    got = (
+        t.select(
+            "doc_id", "chunk_idx", F.size(chunk).alias("n_tokens"),
+            poly_hash(F.array_join(chunk, " ")).alias("fp"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["n_tokens"]
+    for doc_id, text in docs:
+        n = len([x for x in text.split(" ") if x])
+        if n == 0:
+            assert doc_id not in by_doc
+            continue
+        chunks = by_doc[doc_id]
+        n_chunks = (n - 1) // S + 1
+        assert sorted(chunks) == list(range(n_chunks))
+        for i in range(n_chunks - 1):
+            assert chunks[i] == min(W, n - i * S)
+        assert chunks[n_chunks - 1] == n - (n_chunks - 1) * S or (
+            chunks[n_chunks - 1] == min(W, n - (n_chunks - 1) * S)
+        )
+        # coverage: last chunk starts at (n_chunks-1)*S < n and W >= S
+        assert (n_chunks - 1) * S < n
