@@ -609,9 +609,7 @@ def test_chunk_windows_cover_and_overlap(spark, texts):
     docs = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
 
-    # drive the registered query body on a temp view-backed loader shim
-    from plume_spark.operators.dedup import poly_hash
-
+    # mirrors the registered query body (sha2 fingerprint, same fan-out)
     toks_col = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     t = df.select("doc_id", toks_col.alias("toks")).filter(F.size("toks") > 0)
     t = t.withColumn(
@@ -622,7 +620,7 @@ def test_chunk_windows_cover_and_overlap(spark, texts):
     got = (
         t.select(
             "doc_id", "chunk_idx", F.size(chunk).alias("n_tokens"),
-            poly_hash(F.array_join(chunk, " ")).alias("fp"),
+            F.sha2(F.array_join(chunk, " "), 256).alias("fp"),
         )
         .collect()
     )
