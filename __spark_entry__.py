@@ -3044,7 +3044,7 @@ def _q_corpus_decon_bloom(spark, sf):
     guaranteed by construction, asserted per doc under the value gate;
     n_bloom - n_exact is the false-positive overhead the 1 KB buys)."""
     from plume_spark.operators.corpus import EVAL_MOD
-    from plume_spark.operators.dedup import poly_hash, shingles
+    from plume_spark.operators.dedup import shingles
 
     d = graft.load(spark, sf, "documents")
     train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
@@ -3052,17 +3052,27 @@ def _q_corpus_decon_bloom(spark, sf):
     tg = shingles(train, n=5).localCheckpoint(eager=True)  # (doc_id, tok)
     eg = shingles(ev, n=5).select("tok").distinct()
 
+    # gram id: first 48 bits of SHA-256 reduced mod CMS_P — native codegen
+    # on both engines (the interpreted poly-hash fold costs ~10x more here
+    # because it runs once per TRAIN gram; same swap as the chunk
+    # fingerprint).  Spark conv(hex,16,10) == DuckDB CAST('0x'||hex).
+    def gram_id(tok):
+        return (
+            F.conv(F.substring(F.sha2(tok, 256), 1, 12), 16, 10).cast("long")
+            % CMS_P
+        )
+
     def bloom_bits(gid):
         return F.array(*[((gid * a + b) % CMS_P) % BLOOM_M for a, b in CMS_SALTS])
 
     bits = (
-        eg.select(F.explode(bloom_bits(poly_hash(F.col("tok")))).alias("bit"))
+        eg.select(F.explode(bloom_bits(gram_id(F.col("tok")))).alias("bit"))
         .distinct()
     )
     k_hit = (
         tg.select(
             "doc_id", "tok",
-            F.explode(bloom_bits(poly_hash(F.col("tok")))).alias("bit"),
+            F.explode(bloom_bits(gram_id(F.col("tok")))).alias("bit"),
         )
         .join(F.broadcast(bits), "bit", "left_semi")
         .groupBy("doc_id", "tok")
@@ -5442,9 +5452,12 @@ def oracle_sql() -> dict[str, str]:
         + f""",
         eg AS (SELECT DISTINCT tok FROM g WHERE doc_id % {corpus.EVAL_MOD} = 0),
         tg AS (SELECT doc_id, tok FROM g WHERE doc_id % {corpus.EVAL_MOD} <> 0),
-        egid AS (SELECT {_poly_expr('tok')} AS gid FROM eg),
+        egid AS (SELECT CAST('0x' || substr(sha256(tok), 1, 12) AS BIGINT)
+                          % {CMS_P} AS gid FROM eg),
         bits AS (SELECT DISTINCT bit FROM ({_eval_bits})),
-        tgid AS (SELECT doc_id, tok, {_poly_expr('tok')} AS gid FROM tg),
+        tgid AS (SELECT doc_id, tok,
+                        CAST('0x' || substr(sha256(tok), 1, 12) AS BIGINT)
+                          % {CMS_P} AS gid FROM tg),
         tbits AS (
           SELECT doc_id, tok, bit FROM (
             {" UNION ALL ".join(
