@@ -180,12 +180,16 @@ def personalized_pagerank(
     NEAR these nodes").  ``seeds`` is a 1-column DataFrame of node ids;
     r0 = 1 on seeds / 0 elsewhere, r_{i+1} = (1-d)*seed_ind + d*push.
 
-    Scale: identical per-iteration shape to :func:`pagerank` (one map-side
-    combined shuffle per iteration, rank table node-sized, checkpoint
-    lineage truncation); the seed indicator is a broadcast-sized dimension
-    joined once.  Because teleport mass is confined to the seeds, ranks
-    decay geometrically with hop distance — at web scale the result is
-    effectively sparse and a rank_ppm > 0 filter prunes it for free."""
+    Scale: the rank table stays SPARSE — teleport mass exists only on the
+    seeds and pushed mass only on nodes within i hops of one, so each
+    iteration's join touches the frontier, not the graph (global
+    PageRank's node-sized rank table would be the wrong shape here: with a
+    handful of seeds over 10^9 nodes, >99.999% of its rows would carry an
+    exact 0.0 through every join).  Per iteration: one edges-to-frontier
+    hash join + one map-side-combined sum — mass-carrying rows only.  A
+    node never reached holds rank exactly 0.0 = 0 ppm, identical to what
+    the dense recurrence would produce, so sparsity changes no output row
+    (the rank_ppm > 0 filter is the contract either way)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -193,12 +197,19 @@ def personalized_pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    s = seeds.toDF("node").distinct().withColumn("_s", F.lit(1))
-    ind = nodes.join(F.broadcast(s), "node", "left").select(
-        "node", F.coalesce(F.col("_s"), F.lit(0)).cast("double").alias("ind")
-    ).localCheckpoint(eager=True)
+    # seeds outside the graph get teleport mass but can neither push nor
+    # receive — the dense formulation iterates over graph nodes only, so
+    # restrict the base the same way to stay value-identical
+    base = (
+        seeds.toDF("node")
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .select("node", F.lit(1.0 - damping).alias("base"))
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = ind.select("node", F.col("ind").alias("r"))
+    # r0 = seed indicator (1.0 on seeds): expressed sparsely as base/(1-d)
+    ranks = base.select("node", (F.col("base") / F.lit(1.0 - damping)).alias("r"))
     for i in range(n_iters):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -207,10 +218,13 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = ind.join(contribs, "node", "left").select(
+        # (1-d)*ind + d*push, rows existing only where either term does;
+        # 0.15*1.0 and 0.85*s are the exact same float products the dense
+        # ind-join formulation computes, so values are bit-identical
+        ranks = base.join(contribs, "node", "full").select(
             "node",
             (
-                F.lit(1.0 - damping) * F.col("ind")
+                F.coalesce(F.col("base"), F.lit(0.0))
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("r"),
         )
