@@ -3283,12 +3283,51 @@ def _q_a16_group_skewness(spark, sf):
     )
 
 
+def _q_g15_component_profile(spark, sf):
+    """Per-component structure profile over g2's multi-component DAG: node
+    count, edge count, and the tree test (n_edges == n_nodes - 1) — the
+    "know your graph before you process it" read that sizes the CC loop's
+    skew exposure (one giant component -> salting; many small trees ->
+    per-component driver kernels are safe).  Pure composition: the CC
+    labels feed one edge-side equi-join (an edge's component is its
+    subject's label — equal to the object's by definition of CC) and two
+    partial aggs; everything after the CC loop is component-count-sized.
+    All outputs exact int64/bool."""
+    labels = _q_g2_components(spark, sf)  # (node, component)
+    o = graft.load(spark, sf, "orders")
+    li = graft.load(spark, sf, "lineitem")
+    e1 = o.select(
+        F.col("o_custkey").alias("subj"),
+        (F.lit(graft.NODE_ORDER_OFFSET) + F.col("o_orderkey")).alias("obj"),
+    )
+    e2 = li.select(
+        (F.lit(graft.NODE_ORDER_OFFSET) + F.col("l_orderkey")).alias("subj"),
+        (F.lit(graft.NODE_PART_OFFSET) + F.col("l_partkey")).alias("obj"),
+    ).filter(F.col("obj") % 23 == 0)
+    edges = e1.unionByName(e2).distinct()
+    nodes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+    edge_comp = edges.join(
+        labels.withColumnRenamed("node", "subj"), "subj"
+    ).groupBy("component").agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.join(edge_comp, "component", "left")
+        .select(
+            "component",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            (F.coalesce("n_edges", F.lit(0)) == F.col("n_nodes") - 1).alias(
+                "is_tree"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 161 queries and ~110 never
+    # by the already-driver-proven core.  With 162 queries and ~111 never
     # driver-checked, the first 50 slots are all spent on never-checked
     # names (zero wasted on re-checks); the ~50 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
@@ -3308,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_step": _q_emb_kmeans_step,
         "kg_rule_confidence": _q_kg_rule_confidence,
         "a16_group_skewness": _q_a16_group_skewness,
+        "g15_component_profile": _q_g15_component_profile,
         "a15_bloom": _q_a15_bloom,
         "kg_star_join": _q_kg_star_join,
         "ann_pq_adc": _q_ann_pq_adc,
@@ -5562,4 +5602,19 @@ def oracle_sql() -> dict[str, str]:
                                  * (CAST(s1 AS DOUBLE) / n))), 6)
                  AS skewness
         FROM m"""
+    sql["g15_component_profile"] = f"""
+        WITH lbl AS ({sql['g2_components']}),
+        edges AS (
+          SELECT DISTINCT subj, obj FROM (
+            SELECT o_custkey AS subj, 1000000 + o_orderkey AS obj FROM orders
+            UNION ALL
+            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem
+            WHERE (2000000 + l_partkey) % 23 = 0)),
+        nn AS (SELECT component, count(*) AS n_nodes FROM lbl GROUP BY component),
+        ee AS (SELECT l.component, count(*) AS n_edges
+               FROM edges e JOIN lbl l ON l.node = e.subj GROUP BY l.component)
+        SELECT nn.component, nn.n_nodes,
+               coalesce(ee.n_edges, 0) AS n_edges,
+               coalesce(ee.n_edges, 0) = nn.n_nodes - 1 AS is_tree
+        FROM nn LEFT JOIN ee ON ee.component = nn.component"""
     return sql

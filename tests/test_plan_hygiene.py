@@ -207,6 +207,9 @@ def test_bounded_shuffle_budgets(spark):
         "kg_rule_confidence": 8,
         # ONE map-side-combinable partial agg over the events scan
         "a16_group_skewness": 1,
+        # the CC loop runs eagerly at build time; the returned plan is the
+        # label aggregate + edge-label join + two component-sized aggs
+        "g15_component_profile": 18,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
