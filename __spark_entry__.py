@@ -3322,12 +3322,36 @@ def _q_g15_component_profile(spark, sf):
     )
 
 
+def _q_ann_lsh_recall(spark, sf):
+    """LSH retrieval-quality audit: for each of the exact cosine top-10
+    (ann_cosine_topk's pinned ranking, query vec 0), whether the hit shares
+    the query's sign-hyperplane bucket — i.e. whether single-probe LSH
+    WOULD have retrieved it.  The recall@k reading that decides n_planes /
+    multi-probe settings before committing an index layout, sibling of
+    emb_matryoshka's truncation audit (each grades one approximation
+    against the same exact contract).  The bucket dimension rows here are
+    1 (query bucket) + candidates — broadcast joins only; the exact side
+    is the TakeOrderedAndProject top-k."""
+    emb = graft.load(spark, sf, "embeddings")
+    top = similarity.brute_force_topk(emb, query_vec_id=0, k=10)
+    b = similarity.lsh_buckets(emb).select("vec_id", "bucket")
+    qb = b.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+    cand = b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).select(
+        F.col("vec_id").alias("c_id")
+    )
+    return top.join(
+        F.broadcast(cand), top["vec_id"] == F.col("c_id"), "left"
+    ).select(
+        "vec_id", "cos_sim", F.col("c_id").isNotNull().alias("in_query_bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness sweep samples the
     # FIRST ~50 entries.  Rounds 2/3 checked (nearly) the same leading subset,
     # so the dict leads with the queries that have never had a driver-green
     # row (union of CORRECTNESS_r01-r03 = 51 names), newest first, followed
-    # by the already-driver-proven core.  With 162 queries and ~111 never
+    # by the already-driver-proven core.  With 163 queries and ~112 never
     # driver-checked, the first 50 slots are all spent on never-checked
     # names (zero wasted on re-checks); the ~50 never-checked names past the
     # window are gated by the same oracle in pytest + scripts/check_oracle
@@ -3348,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_confidence": _q_kg_rule_confidence,
         "a16_group_skewness": _q_a16_group_skewness,
         "g15_component_profile": _q_g15_component_profile,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "a15_bloom": _q_a15_bloom,
         "kg_star_join": _q_kg_star_join,
         "ann_pq_adc": _q_ann_pq_adc,
@@ -5617,4 +5642,22 @@ def oracle_sql() -> dict[str, str]:
                coalesce(ee.n_edges, 0) AS n_edges,
                coalesce(ee.n_edges, 0) = nn.n_nodes - 1 AS is_tree
         FROM nn LEFT JOIN ee ON ee.component = nn.component"""
+    sql["ann_lsh_recall"] = (
+        bucket_cte
+        + """,
+        q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+               WHERE vec_id = 0),
+        top AS (SELECT vec_id,
+                       CAST(round(list_cosine_similarity(
+                              CAST(embedding AS DOUBLE[]), q0.qe), 4) AS DOUBLE)
+                         AS cos_sim
+                FROM embeddings, q0
+                ORDER BY cos_sim DESC, vec_id LIMIT 10),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        cand AS (SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.bucket)
+        SELECT t.vec_id, t.cos_sim,
+               EXISTS (SELECT 1 FROM cand c WHERE c.vec_id = t.vec_id)
+                 AS in_query_bucket
+        FROM top t"""
+    )
     return sql

@@ -210,6 +210,9 @@ def test_bounded_shuffle_budgets(spark):
         # the CC loop runs eagerly at build time; the returned plan is the
         # label aggregate + edge-label join + two component-sized aggs
         "g15_component_profile": 18,
+        # exact top-10 TakeOrderedAndProject + two broadcasts (query
+        # bucket, candidate ids)
+        "ann_lsh_recall": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
