@@ -2889,7 +2889,9 @@ def _q_corpus_chunk_windows(spark, sf):
     t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     t = t.withColumn(
         "chunk_idx",
-        F.explode(F.sequence(F.lit(0), ((F.size("toks") - 1) / S).cast("int"))),
+        # exact integer division (`div`), mirroring the oracle's `//` —
+        # never a double-divide-then-truncate on integer types
+        F.explode(F.sequence(F.lit(0), F.expr(f"(size(toks) - 1) div {S}"))),
     )
     chunk = F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W)
     return t.select(
@@ -2927,10 +2929,18 @@ def _q_text_zipf_slope(spark, sf):
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"),
     )
-    slope = (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den = F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / den
+    # den == 0 when a source has a single distinct rank (degenerate top
+    # list): Spark (non-ANSI) yields NULL on 0/0 but DuckDB yields inf;
+    # guard explicitly so both engines emit NULL.
+    return m.select(
+        "source",
+        "n_ranks",
+        F.when(den != 0, F.round(slope, 6)).alias("zipf_slope"),
     )
-    return m.select("source", "n_ranks", F.round(slope, 6).alias("zipf_slope"))
 
 
 def _q_w19_attribution(spark, sf):
@@ -3244,12 +3254,15 @@ def _q_a16_group_skewness(spark, sf):
     cross-engine contract: values are quantized to exact centi-unit int64
     (the source carries 2 decimals, so this is lossless), the three power
     sums are EXACT (iv^3 <= 1.8e14 fits int64 per row; sums accumulate in
-    decimal(38,0), associative under any merge order), and the final
-    float skewness is one fixed expression over those identical exact
-    moments — the same quantize-then-exact-sum determinism pattern as
-    emb_centroids/a1, extended to a higher moment.  The exact sums ride
-    along in the output so the value gate pins THEM, not just the derived
-    float.  Shape: ONE map-side-combinable partial agg; nothing global."""
+    decimal(38,0), associative under any merge order), and the reported
+    skewness is hash-portable: zero-variance groups guarded EXACTLY via
+    min==max, the double expression is one fixed IEEE-754 op sequence
+    identical on both engines, and the final quantization is
+    floor(x*1e4 + 0.5) -> BIGINT (plain IEEE ops) rather than a decimal
+    HALF_UP round whose knife-edge semantics differ between engines —
+    the round-4 driver hash mismatch, closed.  The exact sums ride along
+    in the output so the value gate pins THEM, not just the derived
+    value.  Shape: ONE map-side-combinable partial agg; nothing global."""
     e = graft.load(spark, sf, "events")
     iv = F.round(F.col("value") * 100).cast("long")
     d = e.select(
@@ -3263,23 +3276,35 @@ def _q_a16_group_skewness(spark, sf):
         F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
         F.sum(F.col("x2").cast("decimal(38,0)")).alias("s2"),
         F.sum(F.col("x3").cast("decimal(38,0)")).alias("s3"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
     )
     nd = F.col("n").cast("double")
     m1 = F.col("s1").cast("double") / nd
-    m2 = F.col("s2").cast("double") / nd - m1 * m1
+    t2 = F.col("s2").cast("double") / nd
+    m2 = t2 - m1 * m1
     m3 = (
         F.col("s3").cast("double") / nd
-        - F.lit(3.0) * m1 * (F.col("s2").cast("double") / nd)
+        - F.lit(3.0) * m1 * t2
         + F.lit(2.0) * m1 * m1 * m1
     )
     sd = F.sqrt(m2)
+    # Hash-portable final value: the double expression tree above is the
+    # same IEEE-754 op sequence both engines run, and floor(x*1e4 + 0.5)
+    # -> BIGINT quantizes it with plain IEEE ops (no engine-specific
+    # decimal HALF_UP round on a double).  Zero-variance groups are
+    # guarded EXACTLY via min==max (never a float m2 ~ 0 test).
+    skew_e4 = F.when(
+        F.col("mn") != F.col("mx"),
+        F.floor(m3 / (sd * sd * sd) * F.lit(10000.0) + F.lit(0.5)).cast("long"),
+    )
     return m.select(
         "event_type",
         "n",
         "s1",
         "s2",
         "s3",
-        F.round(m3 / (sd * sd * sd), 6).alias("skewness"),
+        skew_e4.alias("skew_e4"),
     )
 
 
@@ -5464,7 +5489,7 @@ def oracle_sql() -> dict[str, str]:
               FROM top GROUP BY source)
         SELECT source, n_ranks,
                CAST(round((n_ranks * sxy - sx * sy)
-                          / (n_ranks * sxx - sx * sx), 6) AS DOUBLE)
+                          / NULLIF(n_ranks * sxx - sx * sx, 0), 6) AS DOUBLE)
                  AS zipf_slope
         FROM m"""
     sql["w19_attribution"] = """
@@ -5607,26 +5632,24 @@ def oracle_sql() -> dict[str, str]:
         m AS (SELECT event_type, count(*) AS n,
                      CAST(sum(x) AS DECIMAL(38,0)) AS s1,
                      CAST(sum(x * x) AS DECIMAL(38,0)) AS s2,
-                     CAST(sum(x * x * x) AS DECIMAL(38,0)) AS s3
-              FROM q GROUP BY event_type)
+                     CAST(sum(x * x * x) AS DECIMAL(38,0)) AS s3,
+                     min(x) AS mn, max(x) AS mx
+              FROM q GROUP BY event_type),
+        w AS (SELECT event_type, n, s1, s2, s3, mn, mx,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                     CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS t2,
+                     CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS t3
+              FROM m),
+        z AS (SELECT event_type, n, s1, s2, s3, mn, mx,
+                     t3 - 3.0 * m1 * t2 + 2.0 * m1 * m1 * m1 AS m3,
+                     sqrt(t2 - m1 * m1) AS sd
+              FROM w)
         SELECT event_type, n, s1, s2, s3,
-               round((CAST(s3 AS DOUBLE) / n
-                      - 3.0 * (CAST(s1 AS DOUBLE) / n)
-                            * (CAST(s2 AS DOUBLE) / n)
-                      + 2.0 * (CAST(s1 AS DOUBLE) / n)
-                            * (CAST(s1 AS DOUBLE) / n)
-                            * (CAST(s1 AS DOUBLE) / n))
-                     / (sqrt(CAST(s2 AS DOUBLE) / n
-                             - (CAST(s1 AS DOUBLE) / n)
-                               * (CAST(s1 AS DOUBLE) / n))
-                        * sqrt(CAST(s2 AS DOUBLE) / n
-                               - (CAST(s1 AS DOUBLE) / n)
-                                 * (CAST(s1 AS DOUBLE) / n))
-                        * sqrt(CAST(s2 AS DOUBLE) / n
-                               - (CAST(s1 AS DOUBLE) / n)
-                                 * (CAST(s1 AS DOUBLE) / n))), 6)
-                 AS skewness
-        FROM m"""
+               CASE WHEN mn <> mx
+                    THEN CAST(floor(m3 / (sd * sd * sd) * 10000.0 + 0.5)
+                              AS BIGINT)
+               END AS skew_e4
+        FROM z"""
     sql["g15_component_profile"] = f"""
         WITH lbl AS ({sql['g2_components']}),
         edges AS (

@@ -603,8 +603,6 @@ def test_chunk_windows_cover_and_overlap(spark, texts):
     token position is covered; all but the last chunk of a doc have
     min(W, n) tokens; token counts reconstruct the doc length as
     n == (n_chunks - 1) * S + last_chunk_len."""
-    import __spark_entry__ as entrymod
-
     W, S = 64, 48
     docs = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
@@ -614,7 +612,7 @@ def test_chunk_windows_cover_and_overlap(spark, texts):
     t = df.select("doc_id", toks_col.alias("toks")).filter(F.size("toks") > 0)
     t = t.withColumn(
         "chunk_idx",
-        F.explode(F.sequence(F.lit(0), ((F.size("toks") - 1) / S).cast("int"))),
+        F.explode(F.sequence(F.lit(0), F.expr(f"(size(toks) - 1) div {S}"))),
     )
     chunk = F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W)
     got = (
@@ -637,8 +635,6 @@ def test_chunk_windows_cover_and_overlap(spark, texts):
         assert sorted(chunks) == list(range(n_chunks))
         for i in range(n_chunks - 1):
             assert chunks[i] == min(W, n - i * S)
-        assert chunks[n_chunks - 1] == n - (n_chunks - 1) * S or (
-            chunks[n_chunks - 1] == min(W, n - (n_chunks - 1) * S)
-        )
+        assert chunks[n_chunks - 1] == min(W, n - (n_chunks - 1) * S)
         # coverage: last chunk starts at (n_chunks-1)*S < n and W >= S
         assert (n_chunks - 1) * S < n
