@@ -39,8 +39,19 @@ def rows_key(rows, cols):
     return sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
 
 
-def run_check(spark, sf: str, only: set[str] | None = None, out=sys.stdout) -> list:
-    """Run the Spark-vs-DuckDB gate; returns [(name, reason)] failures."""
+def run_check(
+    spark,
+    sf: str,
+    only: set[str] | None = None,
+    out=sys.stdout,
+    records: dict | None = None,
+) -> list:
+    """Run the Spark-vs-DuckDB gate; returns [(name, reason)] failures.
+
+    When ``records`` is a dict, it is filled with one driver-format row per
+    query ({rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+    err}) so a full run can be committed as a machine-readable artifact
+    (``--emit`` writes CORRECTNESS_full_rNN.json)."""
     import __spark_entry__ as entrymod
 
     con = duckdb.connect()
@@ -60,11 +71,25 @@ def run_check(spark, sf: str, only: set[str] | None = None, out=sys.stdout) -> l
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}", file=out)
+            if records is not None:
+                records[name] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": None,
+                    "oracle_rows": None, "err": f"spark: {str(e)[:200]}",
+                }
             continue
         if name not in oq:
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]", file=out)
-            if len(spark_rows) == 0 and name != "p3_edge_exists":
+            ok0 = len(spark_rows) > 0 or name == "p3_edge_exists"
+            if not ok0:
                 failures.append((name, "0 rows (rows-only check)"))
+            if records is not None:
+                records[name] = {
+                    "rows_match": ok0, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(spark_rows),
+                    "oracle_rows": None, "err": None,
+                    "note": "rows-only (no oracle)",
+                }
             continue
         try:
             res = con.execute(oq[name])
@@ -73,10 +98,22 @@ def run_check(spark, sf: str, only: set[str] | None = None, out=sys.stdout) -> l
         except Exception as e:
             failures.append((name, f"DUCK ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}", file=out)
+            if records is not None:
+                records[name] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": len(spark_rows),
+                    "oracle_rows": None, "err": f"duckdb: {str(e)[:200]}",
+                }
             continue
         ok_cols = sorted(spark_cols) == sorted(duck_cols)
         ok_n = len(spark_rows) == len(duck_rows)
         ok_vals = ok_cols and ok_n and rows_key(spark_rows, spark_cols) == rows_key(duck_rows, duck_cols)
+        if records is not None:
+            records[name] = {
+                "rows_match": ok_n, "schema_match": ok_cols,
+                "hash_match": ok_vals, "spark_rows": len(spark_rows),
+                "oracle_rows": len(duck_rows), "err": None,
+            }
         status = "OK   " if (ok_cols and ok_n and ok_vals) else "FAIL "
         print(
             f"{status} {name}: spark={len(spark_rows)} duck={len(duck_rows)} "
@@ -221,6 +258,7 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     scaled = next((a for a in sys.argv[1:] if a.startswith("--scaled")), None)
+    emit = next((a for a in sys.argv[1:] if a.startswith("--emit")), None)
     sf = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark(app_name="oracle-check")
@@ -228,7 +266,15 @@ def main():
         k = int(scaled.split("=", 1)[1]) if "=" in scaled else 8
         failures = run_scaled_check(spark, sf, k=k)
     else:
-        failures = run_check(spark, sf, only or None)
+        records: dict | None = {} if emit else None
+        failures = run_check(spark, sf, only or None, records=records)
+        if emit:
+            import json
+
+            path = emit.split("=", 1)[1] if "=" in emit else "CORRECTNESS_full.json"
+            with open(path, "w") as f:
+                json.dump(records, f, indent=1, sort_keys=True)
+            print(f"wrote {path} ({len(records)} rows)")
     print(f"\n{len(failures)} failures: {[f[0] for f in failures]}")
     sys.exit(1 if failures else 0)
 

@@ -190,9 +190,10 @@ def test_bounded_shuffle_budgets(spark):
         # chain — every exchange beyond the one assignment window shuffle
         # is a broadcast of a <=32-row table
         "ann_ivf_adc": 15,
-        # shingle distinct + eval-gram distinct + 8192-bit set + per-gram
-        # k-hit agg + the doc tally; the bit table broadcasts
-        "corpus_decon_bloom": 8,
+        # the probe is a broadcast-literal bitmap projection (zero
+        # shuffle); what remains: train-shingle distinct + the broadcast
+        # of the checkpointed eval-gram table + the per-doc tally
+        "corpus_decon_bloom": 3,
         # two TakeOrderedAndProject top-10s + ONE 10-row broadcast join
         "emb_matryoshka": 1,
         # 3 unrolled iterations x (rank join + degree join + contribution
