@@ -479,6 +479,32 @@ def _kg_flagship(spark, sf, tau=0.95, substrate="base"):
     return out
 
 
+def _co_backbone(spark, sf):
+    """ONE part co-purchase backbone (co_occurrence_edges over lineitem)
+    shared by the graph-structure family g3/g7/g8/g9/g10 — each previously
+    rebuilt the same two-shuffle edge table cold (round-4 VERDICT plan
+    audit / "Next round" #4).  Same memo discipline as ``_kg_flagship``:
+    keyed on (application id, resolved sf dir), dead-session entries
+    evicted on insert, eagerly localCheckpointed so consumers pay the
+    build exactly once per gate/bench session.  g4_cooccur — the edge
+    build CONTRACT query itself — stays unmemoized so bench keeps
+    measuring the real construction cost."""
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf), "co", "backbone")
+    hit = _KG_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _KG_MEMO if k[0] != key[0]]:
+        del _KG_MEMO[k]
+    from plume_spark.operators.graph_metrics import co_occurrence_edges
+
+    li = graft.load(spark, sf, "lineitem")
+    out = co_occurrence_edges(li, "l_orderkey", "l_partkey").localCheckpoint(
+        eager=True
+    )
+    _KG_MEMO[key] = out
+    return out
+
+
 def _q_kg_entity_degrees(spark, sf):
     """Graph analytics over the BUILT knowledge graph (not the raw tables):
     per canonical entity, out-degree, in-degree, and distinct predicates —
@@ -667,15 +693,9 @@ def _q_g9_assortativity(spark, sf):
     mixing diagnostic (hub-hub vs hub-leaf wiring) run before committing to
     a partitioning strategy for iterative graph work.  Oracle generated next
     to the operator from the same edge SQL."""
-    from plume_spark.operators.graph_metrics import (
-        assortativity_moments,
-        co_occurrence_edges,
-    )
+    from plume_spark.operators.graph_metrics import assortativity_moments
 
-    li = graft.load(spark, sf, "lineitem")
-    backbone = co_occurrence_edges(li, "l_orderkey", "l_partkey").filter(
-        F.col("n_groups") >= 2
-    )
+    backbone = _co_backbone(spark, sf).filter(F.col("n_groups") >= 2)
     return assortativity_moments(backbone)
 
 
@@ -693,13 +713,9 @@ def _q_g10_clustering(spark, sf):
     triangle-based and propagation-based algorithms.  Oracle generated next
     to the operator (clustering_oracle_sql) from the same items SQL, so the
     degree-ordered orientation and cap stay in lockstep with g3."""
-    from plume_spark.operators.graph_metrics import (
-        clustering_coefficient,
-        co_occurrence_edges,
-    )
+    from plume_spark.operators.graph_metrics import clustering_coefficient
 
-    li = graft.load(spark, sf, "lineitem")
-    return clustering_coefficient(co_occurrence_edges(li, "l_orderkey", "l_partkey"))
+    return clustering_coefficient(_co_backbone(spark, sf))
 
 
 def _q_ann_range_search(spark, sf):
@@ -1055,11 +1071,9 @@ def _q_g2_components(spark, sf):
 def _q_g3_triangles(spark, sf):
     """Per-node triangle counts on the part co-purchase graph (parts sharing
     an order), degree-ordered orientation — hub-safe wedge joins."""
-    from plume_spark.operators.graph_metrics import co_occurrence_edges, triangle_count
+    from plume_spark.operators.graph_metrics import triangle_count
 
-    li = graft.load(spark, sf, "lineitem")
-    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    return triangle_count(edges)
+    return triangle_count(_co_backbone(spark, sf))
 
 
 def _q_g4_cooccur(spark, sf):
@@ -1090,11 +1104,9 @@ def _q_g7_kcore(spark, sf):
     past max_iters; the oracle unrolls the same number of rounds (peeling
     is idempotent at the fixpoint, so over-unrolling is harmless and
     under-unrolling cannot pass silently)."""
-    from plume_spark.operators.graph_metrics import co_occurrence_edges, k_core
+    from plume_spark.operators.graph_metrics import k_core
 
-    li = graft.load(spark, sf, "lineitem")
-    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    return k_core(edges, k=3, max_iters=8)
+    return k_core(_co_backbone(spark, sf), k=3, max_iters=8)
 
 
 def _q_g8_common_neighbors(spark, sf):
@@ -1104,15 +1116,9 @@ def _q_g8_common_neighbors(spark, sf):
     missing-edge candidate generator.  Middle nodes above the degree cap
     are excluded from the wedge role (hub pairs carry no signal), the same
     degenerate-hub policy as the LSH band cap."""
-    from plume_spark.operators.graph_metrics import (
-        co_occurrence_edges,
-        common_neighbors,
-    )
+    from plume_spark.operators.graph_metrics import common_neighbors
 
-    li = graft.load(spark, sf, "lineitem")
-    backbone = co_occurrence_edges(li, "l_orderkey", "l_partkey").filter(
-        F.col("n_groups") >= 2
-    )
+    backbone = _co_backbone(spark, sf).filter(F.col("n_groups") >= 2)
     return common_neighbors(backbone, max_degree=64)
 
 
