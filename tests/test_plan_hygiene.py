@@ -194,6 +194,9 @@ def test_bounded_shuffle_budgets(spark):
         # shuffle); what remains: train-shingle distinct + the broadcast
         # of the checkpointed eval-gram table + the per-doc tally
         "corpus_decon_bloom": 3,
+        # ivf assignment window + probe/query/exact-topk broadcasts + the
+        # 10-row audit window; the three top-ks are TakeOrderedAndProject
+        "ann_multiprobe_topk": 6,
         # two TakeOrderedAndProject top-10s + ONE 10-row broadcast join
         "emb_matryoshka": 1,
         # 3 unrolled iterations x (rank join + degree join + contribution
