@@ -2280,7 +2280,14 @@ def _q_emb_pq_codes(spark, sf):
     Zero shuffle after the 1-row codebook aggregate broadcasts: the
     assignment is a pure per-row projection, exactly how a 100 TB encode
     pass must run."""
-    emb = graft.load(spark, sf, "embeddings")
+    return _pq_codes(graft.load(spark, sf, "embeddings"))
+
+
+def _pq_codes(emb):
+    """PQ encode of an embeddings DataFrame (codebook = sub-vectors of
+    vec_ids 0-7) — the body of _q_emb_pq_codes, parameterized on the input
+    so the scaled correctness check (scripts/check_oracle.py --scaled) can
+    run the identical chain over k-replicated input."""
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", vec_d.alias("v"))
     cents = e.filter(F.col("vec_id") < 8).select(
@@ -3033,9 +3040,17 @@ def _q_ann_ivf_adc(spark, sf):
     operators the gate already pins (ivf_assign, emb_pq_codes, the LUT),
     so this checks the COMPOSITION, not new math.  Output keeps cent_id so
     the oracle also value-checks the cell routing."""
+    return _ivf_adc_chain(graft.load(spark, sf, "embeddings"))
+
+
+def _ivf_adc_chain(emb):
+    """The IVF-PQ serving chain over an embeddings DataFrame — the body of
+    _q_ann_ivf_adc, parameterized on the input so the scaled correctness
+    check can run the identical composition over k-replicated input
+    (replicas carry offset vec_ids; centroid ids 0-7 and query id 9 exist
+    only in replica 0, so the codebook/probe stages are scale-invariant)."""
     from plume_spark.operators.similarity import ivf_assign
 
-    emb = graft.load(spark, sf, "embeddings")
     assigned, cents, cos = ivf_assign(emb, n_centroids=8)
     q = emb.filter(F.col("vec_id") == 9).select(F.col("embedding").alias("qvec"))
     probe = (
@@ -3068,7 +3083,7 @@ def _q_ann_ivf_adc(spark, sf):
     lut = lut_cents.crossJoin(F.broadcast(qd)).select(
         "lut_cent", *[subdist(j).alias(f"d{j}") for j in range(4)]
     )
-    codes = members.join(_q_emb_pq_codes(spark, sf), "vec_id")
+    codes = members.join(_pq_codes(emb), "vec_id")
     for j in range(4):
         lj = lut.select(F.col("lut_cent").alias(f"code_{j}"), f"d{j}")
         codes = codes.join(F.broadcast(lj), f"code_{j}")

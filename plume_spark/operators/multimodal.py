@@ -237,6 +237,69 @@ def _decode_y4m(payload: bytes) -> np.ndarray:
     return np.stack(frames).reshape(len(frames), h, w).astype(np.float64) / 255.0
 
 
+def _decode_qoi(payload: bytes) -> np.ndarray:
+    """Pure-Python decoder for QOI images (the public "Quite OK Image"
+    spec, qoiformat.org, v1.0): a second genuinely COMPRESSED codec (after
+    PNG/zlib) decoded for real with zero dependencies — run-length, seen-
+    pixel index, byte-diff and luma-diff ops.  Returns the same [0, 1]
+    grayscale grid as the other image paths (integer ITU-R 601-2 luma, so
+    RGB collapse is bit-identical to _decode_pnm/_decode_png)."""
+    if payload[:4] != b"qoif" or len(payload) < 22:
+        raise ValueError("not a QOI stream")
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    if w == 0 or h == 0 or w * h > 1 << 26:
+        raise ValueError(f"bad QOI dimensions {w}x{h}")
+    # channels (payload[12]) and colorspace (payload[13]) are advisory —
+    # the op stream is self-describing either way
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    out = np.empty((h * w, 3), dtype=np.uint8)
+    pos, at = 0, 14
+    n = h * w
+    while pos < n:
+        byte = payload[at]
+        at += 1
+        if byte == 0xFE:  # QOI_OP_RGB
+            r, g, b = payload[at], payload[at + 1], payload[at + 2]
+            at += 3
+        elif byte == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = (
+                payload[at], payload[at + 1], payload[at + 2], payload[at + 3]
+            )
+            at += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF (2-bit deltas, bias 2)
+                r = (r + ((byte >> 4) & 3) - 2) & 0xFF
+                g = (g + ((byte >> 2) & 3) - 2) & 0xFF
+                b = (b + (byte & 3) - 2) & 0xFF
+            elif tag == 2:  # QOI_OP_LUMA (6-bit dg, 4-bit dr-dg / db-dg)
+                b2 = payload[at]
+                at += 1
+                dg = (byte & 0x3F) - 32
+                r = (r + dg - 8 + ((b2 >> 4) & 0x0F)) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg - 8 + (b2 & 0x0F)) & 0xFF
+            else:  # QOI_OP_RUN (bias -1; 0xFE/0xFF handled above)
+                run = (byte & 0x3F) + 1
+                if pos + run > n:
+                    raise ValueError("QOI run past end of image")
+                out[pos : pos + run] = (r, g, b)
+                pos += run
+                continue
+        out[pos] = (r, g, b)
+        pos += 1
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+    rgb = out.reshape(h, w, 3).astype(np.uint32)
+    gray = (
+        (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+    ).astype(np.float64)
+    return gray / 255.0
+
+
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
     """The real decode contract: payload -> pixel array / PCM samples /
     frame stack.
@@ -246,6 +309,9 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
     * image/png (8-bit, non-interlaced) — pure-Python ``_decode_png`` over
       stdlib zlib: a genuinely COMPRESSED codec decoded for real with no
       dependency, all five scanline filters;
+    * image QOI (``qoif`` magic) — pure-Python ``_decode_qoi``: a second
+      real compressed codec (run-length / index / diff / luma ops), zero
+      dependencies;
     * other image/* (JPEG/WebP/16-bit or interlaced PNG) — pillow (optional
       import): grayscale pixel grid in [0, 1], same luma as the netpbm path;
     * audio/wav — stdlib ``wave``: PCM samples in [-1, 1] (no external dep,
@@ -260,6 +326,8 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
             return _decode_pnm(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(payload)
+        if payload[:4] == b"qoif":
+            return _decode_qoi(payload)
         if not HAVE_PIL:
             raise NotImplementedError(
                 "JPEG/WebP decode requires pillow (pip install pillow); "

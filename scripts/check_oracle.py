@@ -250,6 +250,67 @@ def run_scaled_check(spark, sf: str, k: int = 8, out=sys.stdout) -> list:
     failures += _compare(
         f"kg_alias_merge@k={k}", ents, con, oq["kg_alias_merge"], t0, out
     )
+
+    # ANN pillar at k (round-4 VERDICT #6): the full IVF-PQ serving chain
+    # over k-replicated embeddings.  Replicas carry offset vec_ids, so the
+    # codebook (ids 0-7) and query (id 9) exist only in replica 0 and the
+    # coarse/PQ stages are scale-invariant; identical embeddings assign to
+    # identical cells and carry identical ADC distances, so the scaled
+    # top-10 is the base FULL member-distance set expanded k-fold and
+    # re-sorted — which is exactly what the oracle below computes (the base
+    # oracle with its final LIMIT stripped, replica-expanded, re-limited).
+    t0 = time.time()
+    off_v = 1_000_000
+    emb = graft.load(spark, sf, "embeddings")
+    reps_v = spark.range(k).select(F.col("id").alias("r"))
+    emb_k = emb.crossJoin(reps_v).select(
+        (F.col("vec_id") + F.col("r") * off_v).alias("vec_id"), "embedding"
+    )
+    adc_k = entrymod._ivf_adc_chain(emb_k)
+    base_no_limit = oq["ann_ivf_adc"].rsplit("LIMIT", 1)[0]
+    adc_sql = f"""
+        SELECT * FROM (
+          SELECT b.vec_id + g.r * {off_v} AS vec_id, b.cent_id, b.adc_dist
+          FROM ({base_no_limit}) b
+          CROSS JOIN (SELECT UNNEST(range({k})) AS r) g
+          ORDER BY adc_dist ASC, vec_id ASC LIMIT 10)"""
+    failures += _compare(f"ann_ivf_adc@k={k}", adc_k, con, adc_sql, t0, out)
+
+    # streaming pillar at k: the same file-source MERGE drain the
+    # stream_kg_build contract query runs, fed the k-replicated
+    # transcripts, read back FROM THE STORE — stream == batch is
+    # value-checked at the scale tier, not just at sf0.1
+    t0 = time.time()
+    import shutil
+    import tempfile
+    from types import SimpleNamespace
+
+    from plume_spark.store import GraphStore
+    from plume_spark.streaming import read_transcript_stream, stream_build
+
+    d = tempfile.mkdtemp(prefix="plume-scaled-stream-")
+    try:
+        inbox, ckpt = f"{d}/in", f"{d}/ck"
+        tk = graft.kg_transcripts_scaled(spark, sf, k)
+        bucket = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+        for i in range(3):
+            tk.filter(bucket == i).write.mode("append").parquet(inbox)
+        store = GraphStore(spark, f"{d}/store")
+        stream_build(
+            read_transcript_stream(spark, inbox, max_files_per_trigger=1),
+            store,
+            ckpt,
+            tau=0.95,
+        )
+        res = SimpleNamespace(
+            entities=store.entities.read(), triples=store.triples.read()
+        )
+        stream_triples = triples_with_names(res)
+        failures += _compare(
+            f"stream_kg_build@k={k}", stream_triples, con, flag_sql, t0, out
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return failures
 
 

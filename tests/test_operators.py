@@ -355,6 +355,120 @@ def _png_bytes(arr, ctype: int, filters=None, plte=None, interlace: int = 0) -> 
     return b"\x89PNG\r\n\x1a\n" + body
 
 
+def _qoi_bytes(rgb) -> bytes:
+    """Spec-faithful QOI encoder (qoiformat.org v1.0) for fixtures: emits
+    RUN / INDEX / DIFF / LUMA / RGB ops exactly as the reference encoder
+    would, so the decoder under test is exercised against an independently
+    built stream (same policy as _png_bytes)."""
+    h, w, _ = rgb.shape
+    out = bytearray(b"qoif")
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([3, 0])
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in rgb[y, x])
+            if (r, g, b) == (pr, pg, pb):
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            k = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+            if index[k] == (r, g, b, 255):
+                out.append(k)
+            else:
+                index[k] = (r, g, b, 255)
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes([0xFE, r, g, b])
+            pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00\x00\x00\x00\x00\x00\x00\x01"
+    return bytes(out)
+
+
+def test_multimodal_real_qoi_decode(spark):
+    """The SECOND compressed image codec without any dependency: the
+    pure-Python QOI decoder must replay run-length, seen-pixel-index,
+    byte-diff, luma-diff, and literal-RGB ops exactly, collapse RGB with
+    the house integer luma, and ride the full extract_features mapInPandas
+    path.  The fixture image is constructed to force EVERY op: a constant
+    band (RUN), +1-step gradients (DIFF), mid-size steps (LUMA), random
+    pixels (RGB), and a revisited color (INDEX)."""
+    import numpy as np
+
+    from plume_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA,
+        _decode_qoi,
+        extract_features,
+        featurize,
+        real_decoder,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[0, :] = (200, 10, 30)                    # row 0: constant -> RUN
+    for x in range(8):                            # row 1: +1 ramp -> DIFF
+        rgb[1, x] = (50 + x, 60 + x, 70 + x)
+    for x in range(8):                            # row 2: step 5 -> LUMA
+        rgb[2, x] = (40 + 5 * x, 80 + 5 * x, 120 + 5 * x)
+    rgb[3:6] = rng.integers(0, 256, (3, 8, 3))    # rows 3-5: literal RGB
+    rgb[6, :] = (200, 10, 30)                     # row 6: revisit -> INDEX+RUN
+    rgb[7, :] = rgb[3, ::-1]                      # row 7: more INDEX hits
+    payload = _qoi_bytes(rgb)
+    luma = (
+        rgb[..., 0].astype(np.uint32) * 299
+        + rgb[..., 1].astype(np.uint32) * 587
+        + rgb[..., 2].astype(np.uint32) * 114
+    ) // 1000
+    assert np.array_equal(_decode_qoi(payload), luma / 255.0)
+    assert np.array_equal(decode_real(payload, "image/qoi"), luma / 255.0)
+
+    # every op family is present in the encoded stream
+    ops = set()
+    at = 14
+    end = len(payload) - 8
+    while at < end:
+        byte = payload[at]
+        if byte == 0xFE:
+            ops.add("rgb"); at += 4
+        elif byte == 0xFF:
+            ops.add("rgba"); at += 5
+        else:
+            tag = byte >> 6
+            ops.add(["index", "diff", "luma", "run"][tag])
+            at += 2 if tag == 2 else 1
+    assert {"run", "index", "diff", "luma", "rgb"} <= ops
+
+    with pytest.raises(ValueError):  # truncated/garbage stays loud
+        _decode_qoi(b"qoif" + b"\x00" * 18)
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/qoi", payload, 8, 8, None)], schema=MEDIA
+    )
+    rows = extract_features(media, decoder=real_decoder).collect()
+    assert rows[0]["feature"] == [float(x) for x in featurize(luma / 255.0)]
+    assert len(rows[0]["feature"]) == FEATURE_DIM
+
+
 def test_multimodal_real_png_decode(spark):
     """The COMPRESSED image branch without pillow: the pure-Python PNG
     decoder (stdlib zlib) must invert all five scanline filters exactly,
