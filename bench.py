@@ -85,6 +85,9 @@ HEADLINE = [
     "g13_linkpred_ra",
     "g14_ppr",
     "w19_attribution",
+    # round 5: the multi-probe serving contract (candidate-union + exact
+    # rerank + in-band recall audit) — the ANN family's quality headline
+    "ann_multiprobe_topk",
 ]
 
 

@@ -294,7 +294,11 @@ def run_scaled_check(spark, sf: str, k: int = 8, out=sys.stdout) -> list:
         tk = graft.kg_transcripts_scaled(spark, sf, k)
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(3))
         for i in range(3):
-            tk.filter(bucket == i).write.mode("append").parquet(inbox)
+            # one file per landing: maxFilesPerTrigger=1 makes every FILE a
+            # MERGE microbatch, so without the coalesce the k-replicated
+            # write lands ~shuffle_partitions files per bucket and the
+            # drain pays ~100 epochs of merge overhead instead of 3
+            tk.filter(bucket == i).coalesce(1).write.mode("append").parquet(inbox)
         store = GraphStore(spark, f"{d}/store")
         stream_build(
             read_transcript_stream(spark, inbox, max_files_per_trigger=1),
