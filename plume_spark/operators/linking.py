@@ -75,24 +75,75 @@ def driver_link_kernel(
     n_bands = N_HASHES // ROWS_PER_BAND
     a = np.array(dedup_mod.MINHASH_A[:N_HASHES], dtype=np.int64)
     b = np.array(dedup_mod.MINHASH_B[:N_HASHES], dtype=np.int64)
-    buckets: dict[tuple, list[int]] = {}
-    gramset_groups: dict[tuple, list[int]] = {}
-    for i, g in enumerate(gram_sets):
-        tok = (g.view(np.int64)) % MINHASH_P  # floored mod == Spark pmod
-        sig = (a[:, None] * tok[None, :] + b[:, None]) % MINHASH_P
-        mins = sig.min(axis=1)  # (N_HASHES,)
-        for band in range(n_bands):
-            key = (band, *mins[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND])
-            buckets.setdefault(key, []).append(i)
-        gramset_groups.setdefault(tuple(np.unique(tok).tolist()), []).append(i)
-    cands: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        if len(members) > max_bucket_size:
-            continue  # non-discriminative bucket, dropped (skew kill)
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                ia, ib = members[x], members[y]
-                cands.add((ia, ib) if norms[ia] < norms[ib] else (ib, ia))
+    n = len(norms)
+    # Signatures for ALL norms in one affine pass + segmented min — the
+    # per-norm Python loop this replaces was ~1 s of the flagship's 4.7 s
+    # at sf0.1 (15k norms); same ops, same values, ~10x less interpreter
+    # time.  reduceat segments are the per-norm gram runs (all non-empty:
+    # gram_array NUL-pads short strings, mirrored by xxh64_ngrams).
+    lens = np.array([len(g) for g in gram_sets], dtype=np.int64)
+    if lens.min(initial=1) == 0:
+        raise ValueError("empty gram set in driver_link_kernel input")
+    flat = np.concatenate(gram_sets).view(np.int64) % MINHASH_P  # floored mod == pmod
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    sig_all = (a[:, None] * flat[None, :] + b[:, None]) % MINHASH_P
+    mins = np.minimum.reduceat(sig_all, offsets, axis=1)  # (N_HASHES, n)
+    assert ROWS_PER_BAND == 2, "packed band key assumes 2 rows per band"
+    # lexicographic rank (numpy '<U' compare == Python str compare, both
+    # code-point order) orients pairs without per-pair string compares
+    norms_arr = np.array(norms)
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.argsort(norms_arr, kind="stable")] = np.arange(n, dtype=np.int64)
+    pair_lo: list[np.ndarray] = []
+    pair_hi: list[np.ndarray] = []
+    for band in range(n_bands):
+        # band key packed into ONE int64 (m0 * P + m1 is injective for
+        # mins < P, and P^2 < 2^63): plain-integer np.unique groups ~10x
+        # faster than structured/void-view compares.  Identical grouping
+        # to the former dict-of-tuples banding — bands never merge.
+        m0 = mins[band * ROWS_PER_BAND]
+        m1 = mins[band * ROWS_PER_BAND + 1]
+        keys = m0 * np.int64(MINHASH_P) + m1
+        _, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+        order = np.argsort(inv, kind="stable")
+        elig = (counts >= 2) & (counts <= max_bucket_size)
+        sel = elig[inv[order]]
+        mem = order[sel]  # eligible-bucket members, buckets contiguous
+        if mem.size == 0:
+            continue
+        c = counts[elig].astype(np.int64)
+        # ragged within-bucket pair expansion, zero per-bucket Python: the
+        # entry at local position p pairs with the (c - 1 - p) entries
+        # after it in its bucket (prefix-heavy dictionaries make ~400k
+        # candidates from 2-row bands at sf0.1 — the nested Python loops
+        # this replaces were ~0.7 s of the flagship build)
+        gstart = np.zeros(len(c), dtype=np.int64)
+        np.cumsum(c[:-1], out=gstart[1:])
+        loc = np.arange(mem.size, dtype=np.int64) - np.repeat(gstart, c)
+        reps = np.repeat(c, c) - 1 - loc
+        xa = np.repeat(mem, reps)
+        rstart = np.zeros(mem.size, dtype=np.int64)
+        np.cumsum(reps[:-1], out=rstart[1:])
+        incr = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(rstart, reps)
+        ya = mem[np.repeat(np.arange(mem.size, dtype=np.int64), reps) + 1 + incr]
+        swap = rank[xa] > rank[ya]
+        pair_lo.append(np.where(swap, ya, xa))
+        pair_hi.append(np.where(swap, xa, ya))
+    # exact gram-set keys: one global lexsort + within-segment dedup
+    # replaces 15k np.unique calls (same sorted-unique-token key per norm)
+    seg_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order2 = np.lexsort((flat, seg_ids))
+    fs, ss = flat[order2], seg_ids[order2]
+    keep = np.ones(len(fs), dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+    fs, ss = fs[keep], ss[keep]
+    seg_starts = np.searchsorted(ss, np.arange(n + 1, dtype=np.int64))
+    gramset_groups: dict[bytes, list[int]] = {}
+    for i in range(n):
+        gramset_groups.setdefault(
+            fs[seg_starts[i] : seg_starts[i + 1]].tobytes(), []
+        ).append(i)
     # exact-duplicate rescue: norms with IDENTICAL gram sets are J=1
     # duplicates by definition, yet dense regions (e.g. zero-heavy ids) can
     # blow EVERY 2-row band bucket past the cap and silently lose them.
@@ -102,21 +153,54 @@ def driver_link_kernel(
     # (Minhash FULL-signature grouping is NOT sound here: distinct gram sets
     # can share all 32 minhashes, and a star hub that fails verification
     # would orphan true member-member duplicates.)
+    star_lo: list[int] = []
+    star_hi: list[int] = []
     for members in gramset_groups.values():
         if len(members) > 1:
-            ms = sorted(members, key=lambda i: norms[i])
-            for m in ms[1:]:
-                cands.add((ms[0], m))
-    out = []
-    sizes = [len(g) for g in gram_sets]
-    sets = [set(g.tolist()) for g in gram_sets]
-    for ia, ib in cands:
-        sa, sb = sizes[ia], sizes[ib]
-        if min(sa, sb) < tau * max(sa, sb):
-            continue  # size prefilter, as in verified_pairs
-        inter = len(sets[ia] & sets[ib])
-        if inter / (sa + sb - inter) >= tau:
-            out.append((norms[ia], norms[ib]))
+            hub = min(members, key=lambda i: rank[i])
+            for m in members:
+                if m != hub:
+                    star_lo.append(hub)
+                    star_hi.append(m)
+    if star_lo:
+        pair_lo.append(np.array(star_lo, dtype=np.int64))
+        pair_hi.append(np.array(star_hi, dtype=np.int64))
+    if not pair_lo:
+        return []
+    lo = np.concatenate(pair_lo)
+    hi = np.concatenate(pair_hi)
+    pk = np.unique(lo * np.int64(n) + hi)  # dedupe across bands/stars
+    lo, hi = pk // n, pk % n
+    # vectorized exact verify (same size prefilter + exact Jaccard over the
+    # RAW uint64 gram sets as before, float64 compare unchanged): padded
+    # gram matrix + validity mask, chunked so the (pairs x W x W) equality
+    # broadcast stays in cache-friendly blocks
+    sa, sb = lens[lo], lens[hi]
+    pre = np.minimum(sa, sb) >= tau * np.maximum(sa, sb)
+    lo, hi = lo[pre], hi[pre]
+    if lo.size == 0:
+        return []
+    W = int(lens.max())
+    raw = np.concatenate(gram_sets).view(np.int64)
+    col = np.arange(len(raw), dtype=np.int64) - np.repeat(offsets, lens)
+    gm = np.zeros((n, W), dtype=np.int64)
+    valid = np.zeros((n, W), dtype=bool)
+    gm[seg_ids, col] = raw
+    valid[seg_ids, col] = True
+    out: list[tuple[str, str]] = []
+    for s in range(0, int(lo.size), 8192):
+        l, h = lo[s : s + 8192], hi[s : s + 8192]
+        eq = (
+            (gm[l][:, :, None] == gm[h][:, None, :])
+            & valid[l][:, :, None]
+            & valid[h][:, None, :]
+        )
+        inter = eq.sum(axis=(1, 2))
+        ok = inter / (lens[l] + lens[h] - inter) >= tau
+        out.extend(
+            (norms[int(i)], norms[int(j)])
+            for i, j in zip(l[ok].tolist(), h[ok].tolist())
+        )
     return out
 
 
