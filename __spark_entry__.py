@@ -1285,6 +1285,46 @@ def _q_dedup_embedding(spark, sf):
     return dedup.embedding_neardup(graft.load(spark, sf, "embeddings"), tau=0.35)
 
 
+def _q_dedup_lsh_recall(spark, sf):
+    """Dedup retrieval-quality audit — the dedup pillar's sibling of
+    ann_multiprobe_topk: ground truth = the exact shingle-blocked Jaccard
+    pairs (dedup_ngram_jaccard's parity path), candidate = the banded
+    MinHash/LSH pipeline actually used at scale, both at the same tau/unit
+    so the comparison is apples-to-apples.  Per exact pair: whether LSH
+    found it, plus the exact counts and the acceptance bit
+    (n_found * 5 >= n_exact * 4, i.e. recall@tau >= 0.8) — INTEGER
+    arithmetic only, so the pin can never trip on float rounding.  With
+    16 hashes in 8 two-row bands, P(candidate | J) = 1 - (1 - J^2)^8
+    (~0.90 at J = 0.5, ->1 above 0.7); the measured recall tells whether
+    the band geometry holds on THIS corpus — the number that justifies
+    trusting the sub-quadratic path before turning off the exact one.
+
+    Scale: the exact side is the quadratic-in-hot-shingles parity path —
+    audit-only, run on samples at 100 TB; the LSH side is the production
+    plan unchanged."""
+    d = graft.load(spark, sf, "documents")
+    exact = dedup.ngram_jaccard_pairs(d, n=3, tau=0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+    approx = dedup.minhash_dedup(d, portable_ids=True).select(
+        "doc_a", "doc_b", F.lit(1).alias("_f")
+    )
+    j = exact.join(F.broadcast(approx), ["doc_a", "doc_b"], "left")
+    w = Window.partitionBy()  # pair-audit table — never raw rows
+    found = F.col("_f").isNotNull()
+    n_exact = F.count(F.lit(1)).over(w)
+    n_found = F.sum(found.cast("int")).over(w)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        found.alias("lsh_found"),
+        n_exact.cast("long").alias("n_exact"),
+        n_found.cast("long").alias("n_found"),
+        (n_found * 5 >= n_exact * 4).alias("recall_ok"),
+    )
+
+
 def _q_p5(spark, sf):
     # property-presence filter (has(ORDER) analog): events rows with a tool/props value
     e = graft.load(spark, sf, "events")
@@ -3471,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 (never checked by anything before this round) --
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -3918,6 +3959,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5"""
+    sql["dedup_lsh_recall"] = f"""
+        WITH ex AS ({sql['dedup_ngram_jaccard']}),
+        ap AS (SELECT doc_a, doc_b FROM ({sql['dedup_minhash_lsh']})),
+        h AS (
+          SELECT ex.doc_a, ex.doc_b, ex.jaccard,
+                 EXISTS (SELECT 1 FROM ap
+                         WHERE ap.doc_a = ex.doc_a AND ap.doc_b = ex.doc_b)
+                   AS lsh_found
+          FROM ex)
+        SELECT doc_a, doc_b, jaccard, lsh_found,
+               count(*) OVER () AS n_exact,
+               CAST(sum(CASE WHEN lsh_found THEN 1 ELSE 0 END) OVER ()
+                    AS BIGINT) AS n_found,
+               CAST(sum(CASE WHEN lsh_found THEN 1 ELSE 0 END) OVER ()
+                    AS BIGINT) * 5 >= count(*) OVER () * 4 AS recall_ok
+        FROM h"""
     sql["text_token_stats"] = """
         WITH t AS (
           SELECT doc_id,
