@@ -3436,6 +3436,75 @@ def _q_a16_group_skewness(spark, sf):
     )
 
 
+def _q_a17_group_kurtosis(spark, sf):
+    """Per-group fourth-moment EXCESS KURTOSIS — the a16 quantize-then-
+    exact-sum pattern extended to the 4th power sum.  Values are lossless
+    centi-unit int64; x^2 fits int64 (|iv| <= 5.7e4 -> x2 <= 3.2e9) but
+    x^4 does NOT (~9.8e18 vs int64 max 9.2e18), so the per-row 4th power
+    is computed in decimal: x2 squared as decimal(19,0)*decimal(19,0),
+    summed in decimal(38,0) (exact, associative under any merge order;
+    the oracle's HUGEINT path is exact the same way).  The reported
+    excess kurtosis m4/m2^2 - 3 is hash-portable: zero-variance groups
+    guarded EXACTLY via min==max, one fixed IEEE-754 op sequence, final
+    quantization floor(x*1e4 + 0.5) -> BIGINT.  Shape: ONE map-side-
+    combinable partial agg; nothing global."""
+    e = graft.load(spark, sf, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    d = e.select(
+        "event_type",
+        iv.alias("x"),
+        (iv * iv).alias("x2"),
+        (iv * iv * iv).alias("x3"),
+        (
+            (iv * iv).cast("decimal(19,0)") * (iv * iv).cast("decimal(19,0)")
+        ).alias("x4"),
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.col("x3").cast("decimal(38,0)")).alias("s3"),
+        F.sum(F.col("x4").cast("decimal(38,0)")).alias("s4"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    t2 = F.col("s2").cast("double") / nd
+    t3 = F.col("s3").cast("double") / nd
+    t4 = F.col("s4").cast("double") / nd
+    m2 = t2 - m1 * m1
+    m4 = (
+        t4
+        - F.lit(4.0) * m1 * t3
+        + F.lit(6.0) * m1 * m1 * t2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    kurt_e4 = F.when(
+        F.col("mn") != F.col("mx"),
+        F.floor(
+            (m4 / (m2 * m2) - F.lit(3.0)) * F.lit(10000.0) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return m.select(
+        "event_type", "n", "s1", "s2", "s4", kurt_e4.alias("kurt_e4")
+    )
+
+
+def _q_g16_modularity(spark, sf):
+    """Newman modularity of the g6 label-propagation communities over the
+    same transcript DAG (undirected reading) — the community-quality
+    gate run before materializing a partition (sum of contrib_e10 = Q in
+    1e-10 units).  Pure composition: g6's labels (the already-pinned
+    2-round synchronous propagation) + one canonical edge set + two
+    partial aggs; the edge count joins as a broadcast scalar."""
+    from plume_spark.operators.graph_metrics import label_propagation, modularity
+
+    edges = graft.dag_edges(spark, sf)
+    labels = label_propagation(edges, n_iters=2, a="subj", b="obj")
+    return modularity(edges, labels, a="subj", b="obj")
+
+
 def _q_g15_component_profile(spark, sf):
     """Per-component structure profile over g2's multi-component DAG: node
     count, edge count, and the tree test (n_edges == n_nodes - 1) — the
@@ -3512,6 +3581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never checked by anything before this round) --
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "a17_group_kurtosis": _q_a17_group_kurtosis,
+        "g16_modularity": _q_g16_modularity,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -5830,6 +5901,44 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT)
                END AS skew_e4
         FROM z"""
+    sql["a17_group_kurtosis"] = """
+        WITH q AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events),
+        m AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+                     CAST(sum(x * x) AS DECIMAL(38,0)) AS s2,
+                     CAST(sum(x * x * x) AS DECIMAL(38,0)) AS s3,
+                     CAST(sum(CAST(x * x AS HUGEINT) * (x * x))
+                          AS DECIMAL(38,0)) AS s4,
+                     min(x) AS mn, max(x) AS mx
+              FROM q GROUP BY event_type),
+        w AS (SELECT event_type, n, s1, s2, s3, s4, mn, mx,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                     CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS t2,
+                     CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS t3,
+                     CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS t4
+              FROM m),
+        z AS (SELECT event_type, n, s1, s2, s4, mn, mx,
+                     t4 - 4.0 * m1 * t3 + 6.0 * m1 * m1 * t2
+                        - 3.0 * m1 * m1 * m1 * m1 AS m4,
+                     t2 - m1 * m1 AS m2
+              FROM w)
+        SELECT event_type, n, s1, s2, s4,
+               CASE WHEN mn <> mx
+                    THEN CAST(floor((m4 / (m2 * m2) - 3.0) * 10000.0 + 0.5)
+                              AS BIGINT)
+               END AS kurt_e4
+        FROM z"""
+    from plume_spark.operators.graph_metrics import modularity_oracle_sql
+
+    sql["g16_modularity"] = modularity_oracle_sql(
+        """SELECT o_custkey AS a, 1000000 + o_orderkey AS b FROM orders
+           UNION ALL
+           SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem""",
+        n_iters=2,
+    )
     sql["g15_component_profile"] = f"""
         WITH lbl AS ({sql['g2_components']}),
         edges AS (

@@ -217,6 +217,14 @@ def test_bounded_shuffle_budgets(spark):
         # exact top-10 TakeOrderedAndProject + two broadcasts (query
         # bucket, candidate ids)
         "ann_lsh_recall": 2,
+        # ONE map-side-combinable partial agg over the events scan (the
+        # a16 shape with a 4th decimal power sum riding along)
+        "a17_group_kurtosis": 1,
+        # label-prop loop runs eagerly (checkpointed); the returned plan:
+        # degree agg over the two-sided union + label equi-joins on both
+        # endpoints + e_in/d_tot partial aggs + the community left join,
+        # all over the checkpointed canonical edge set; m broadcasts
+        "g16_modularity": 9,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
