@@ -3491,6 +3491,24 @@ def _q_a17_group_kurtosis(spark, sf):
     )
 
 
+def _q_corpus_dsir(spark, sf):
+    """DSIR importance weights with src0 as the target domain — the
+    domain-targeted data selection signal (see dsir_logratio's docstring
+    for the hashed-feature scale path)."""
+    return corpus.dsir_logratio(
+        graft.load(spark, sf, "documents"), target_sources=("src0",)
+    )
+
+
+def _q_text_bpe_pairs(spark, sf):
+    """Top-20 BPE merge candidates (adjacent within-word symbol pairs)
+    over the documents corpus — the tokenizer-training first step as a
+    bounded-key partial agg + top-k."""
+    from plume_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(graft.load(spark, sf, "documents"), k=20)
+
+
 def _q_g16_modularity(spark, sf):
     """Newman modularity of the g6 label-propagation communities over the
     same transcript DAG (undirected reading) — the community-quality
@@ -3583,6 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "a17_group_kurtosis": _q_a17_group_kurtosis,
         "g16_modularity": _q_g16_modularity,
+        "corpus_dsir": _q_corpus_dsir,
+        "text_bpe_pairs": _q_text_bpe_pairs,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -5931,6 +5951,38 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT)
                END AS kurt_e4
         FROM z"""
+    sql["corpus_dsir"] = """
+        WITH toks AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tk AS (SELECT doc_id, source, tok FROM toks WHERE tok <> ''),
+        raw AS (SELECT tok, count(*) AS c_r FROM tk GROUP BY tok),
+        tgt AS (SELECT tok, count(*) AS c_t FROM tk
+                WHERE source IN ('src0') GROUP BY tok),
+        stats AS (SELECT raw.tok, raw.c_r, coalesce(tgt.c_t, 0) AS c_t
+                  FROM raw LEFT JOIN tgt ON tgt.tok = raw.tok),
+        tot AS (SELECT sum(c_r) AS n_raw, sum(c_t) AS n_tgt,
+                       count(*) AS v
+                FROM stats)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(ln(CAST(c_t + 1 AS DOUBLE)
+                              / CAST(n_tgt + v AS DOUBLE))
+                         - ln(CAST(c_r + 1 AS DOUBLE)
+                                / CAST(n_raw + v AS DOUBLE))), 6) + 0.0
+                 AS avg_logratio
+        FROM tk JOIN stats USING (tok) CROSS JOIN tot
+        GROUP BY doc_id"""
+    sql["text_bpe_pairs"] = """
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(w)),
+                                       i -> w[i:i+1])) AS pair
+          FROM words WHERE length(w) >= 2)
+        SELECT pair, count(*) AS n_pairs
+        FROM pairs GROUP BY pair
+        ORDER BY n_pairs DESC, pair ASC
+        LIMIT 20"""
     from plume_spark.operators.graph_metrics import modularity_oracle_sql
 
     sql["g16_modularity"] = modularity_oracle_sql(

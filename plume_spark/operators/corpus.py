@@ -580,3 +580,73 @@ def vocab_growth(
             .alias("vocab_size"),
         )
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_sources: tuple[str, ...] = ("src0",),
+    text: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weight per doc -> (doc_id, n_tokens,
+    avg_logratio): the mean per-token log p_target(tok)/p_raw(tok) under
+    add-1-smoothed unigram models, where the target distribution is
+    estimated from the docs of ``target_sources`` and the raw distribution
+    from the whole corpus (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling" — the hashed-n-gram variant at scale
+    replaces tok with hash(tok) % B; the test-scale contract keys the
+    string so the oracle needs no portable hash).  Docs whose token mix
+    resembles the target domain score high; the downstream sampler keeps
+    docs with probability proportional to exp(weight).
+
+    Both models smooth over the RAW vocabulary (V = distinct raw tokens),
+    so target-unseen tokens get mass 1/(N_t + V) and the ratio is total.
+
+    Scale: two token-keyed partial aggs (raw counts; target counts over the
+    filtered stream) + one vocabulary-sized join + one per-doc agg — the
+    same shape as unigram_logprob with a second count column.  The two
+    scalar totals ride one broadcast row.  Float policy follows
+    unigram_logprob: avg-of-ln cannot be decimal-exact; round(,6) with
+    summation-order risk ~1e-8/row, accepted."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .localCheckpoint(eager=True)  # 3 consumers: raw, target, per-doc
+    )
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        toks.filter(F.col("source").isin(*target_sources))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    stats = (
+        raw.join(tgt, "tok", "left")
+        .select("tok", "c_r", F.coalesce("c_t", F.lit(0)).alias("c_t"))
+        .localCheckpoint(eager=True)  # 2 consumers: totals row, token join
+    )
+    totals = stats.agg(
+        F.sum("c_r").alias("n_raw"),
+        F.sum("c_t").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = F.log(
+        (F.col("c_t") + 1).cast("double") / (F.col("n_tgt") + F.col("v")).cast("double")
+    ) - F.log(
+        (F.col("c_r") + 1).cast("double") / (F.col("n_raw") + F.col("v")).cast("double")
+    )
+    return (
+        toks.join(stats, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # + 0.0 canonicalizes IEEE negative zero (a log-RATIO rounds to
+            # -0.0 for raw-typical docs; logprob never hits this)
+            (F.round(F.avg(lr), 6) + F.lit(0.0)).alias("avg_logratio"),
+        )
+    )

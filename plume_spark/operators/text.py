@@ -246,3 +246,34 @@ def word_entropy(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> D
             6,
         ).alias("entropy"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, k: int = 20, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide counts of
+    adjacent symbol pairs within words -> the top-``k`` (pair, n_pairs)
+    merge candidates (count desc, pair asc — a total order, so the cut is
+    bit-deterministic).  Full BPE iterates merge-recount; the recount after
+    a merge touches only words containing the merged pair, so each round is
+    this same map-side-combinable shape over a shrinking stream.
+
+    Scale: explode to word-internal character bigrams (a pure projection),
+    ONE partial agg whose key space is bounded by alphabet^2 (map-side
+    combine collapses each task to at most that many rows), and a
+    TakeOrderedAndProject top-k — no global sort, no vocabulary-sized
+    shuffle."""
+    words = df.select(
+        F.explode(F.split(F.col(text), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+        .limit(k)
+    )

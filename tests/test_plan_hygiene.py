@@ -225,6 +225,12 @@ def test_bounded_shuffle_budgets(spark):
         # endpoints + e_in/d_tot partial aggs + the community left join,
         # all over the checkpointed canonical edge set; m broadcasts
         "g16_modularity": 9,
+        # raw + target token-keyed partial aggs into the checkpointed
+        # vocabulary table + the totals row + the token join + the
+        # per-doc agg; the vocabulary and totals broadcast
+        "corpus_dsir": 6,
+        # ONE bounded-key (alphabet^2) partial agg + TakeOrderedAndProject
+        "text_bpe_pairs": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
