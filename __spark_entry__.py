@@ -3509,6 +3509,46 @@ def _q_text_bpe_pairs(spark, sf):
     return bpe_pair_counts(graft.load(spark, sf, "documents"), k=20)
 
 
+def _q_text_pmi_bigrams(spark, sf):
+    """Top-20 adjacent-word collocations by PMI over documents — exact
+    slot counts, single-ln integer-pinned PMI (see pmi_bigrams)."""
+    from plume_spark.operators.text import pmi_bigrams
+
+    return pmi_bigrams(graft.load(spark, sf, "documents"), k=20)
+
+
+def _q_w20_late_events(spark, sf):
+    """Watermark lateness audit: replaying each user's events in arrival
+    order (event_id), an event is LATE if its event time sits more than
+    10 min behind the stream's high-water mark so far (max event time over
+    preceding arrivals) — exactly the rows a Structured Streaming watermark
+    of 10 min would drop.  Per event_type: arrival count, late count, and
+    the worst lateness.  All values exact int64 (epoch microseconds), so
+    the row is hash-portable by construction.
+
+    Scale: one (user_id)-partitioned running-max window (the stream shard
+    key — never a global order) + ONE map-side-combinable partial agg."""
+    e = graft.load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.max(us).over(w) - F.lit(600000000) - us
+    return (
+        e.select("event_type", late_us.alias("late_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("late_us") > 0, 1)).alias("n_late"),
+            F.max(F.when(F.col("late_us") > 0, F.col("late_us"))).alias(
+                "max_late_us"
+            ),
+        )
+    )
+
+
 def _q_g16_modularity(spark, sf):
     """Newman modularity of the g6 label-propagation communities over the
     same transcript DAG (undirected reading) — the community-quality
@@ -3603,6 +3643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_modularity": _q_g16_modularity,
         "corpus_dsir": _q_corpus_dsir,
         "text_bpe_pairs": _q_text_bpe_pairs,
+        "text_pmi_bigrams": _q_text_pmi_bigrams,
+        "w20_late_events": _q_w20_late_events,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -5972,6 +6014,37 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_logratio
         FROM tk JOIN stats USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["text_pmi_bigrams"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents),
+        bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+               FROM toks, unnest(range(1, len(ts))) AS t(i)
+               WHERE len(ts) >= 2),
+        big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS l1 FROM big GROUP BY w1),
+        rgt AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS r2 FROM big GROUP BY w2),
+        tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t_big FROM big)
+        SELECT w1, w2, c12, l1, r2,
+               CAST(floor(ln(CAST(c12 AS DOUBLE) * CAST(t_big AS DOUBLE)
+                             / (CAST(l1 AS DOUBLE) * CAST(r2 AS DOUBLE)))
+                          * 1000000.0 + 0.5) AS BIGINT) AS pmi_e6
+        FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+        ORDER BY c12 DESC, w1 ASC, w2 ASC
+        LIMIT 20"""
+    sql["w20_late_events"] = """
+        WITH x AS (
+          SELECT event_type,
+                 max(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - 600000000 - epoch_us(ts) AS late_us
+          FROM events)
+        SELECT event_type, count(*) AS n_events,
+               count(CASE WHEN late_us > 0 THEN 1 END) AS n_late,
+               max(CASE WHEN late_us > 0 THEN late_us END) AS max_late_us
+        FROM x GROUP BY event_type"""
     sql["text_bpe_pairs"] = """
         WITH words AS (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents),

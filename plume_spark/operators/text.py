@@ -277,3 +277,64 @@ def bpe_pair_counts(
         .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame, k: int = 20, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs -> the top-``k`` bigrams by frequency (c12 desc, w1 asc, w2 asc —
+    a total order) with PMI = ln(c12 * T / (l1 * r2)), where l1 / r2 are
+    the words' left-slot / right-slot occurrence counts and T the total
+    bigram count.  High-PMI pairs are multiword units ("new york") the
+    tokenizer or phrase miner should keep together.
+
+    Cross-engine contract: c12 / l1 / r2 are exact int64; PMI is ONE ln
+    over a product/quotient of those exact ints quantized floor(x*1e6+0.5)
+    — no float summation anywhere, so the row hashes identically on any
+    engine and under any partitioning.
+
+    Scale: one (w1, w2)-keyed partial agg over the exploded bigram stream,
+    two vocabulary-sized slot-count aggs DERIVED from the bigram table
+    (not a second corpus pass), one broadcast scalar, and a
+    TakeOrderedAndProject top-k — no global sort."""
+    toks = F.filter(F.split(F.col(text), " "), lambda x: x != "")
+    pairs = df.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    big = big.localCheckpoint(eager=True)  # 4 consumers: left, right, T, rows
+    left = big.groupBy("w1").agg(F.sum("c12").alias("l1"))
+    right = big.groupBy("w2").agg(F.sum("c12").alias("r2"))
+    total = big.agg(F.sum("c12").alias("t_big"))
+    pmi = F.log(
+        F.col("c12").cast("double")
+        * F.col("t_big").cast("double")
+        / (F.col("l1").cast("double") * F.col("r2").cast("double"))
+    )
+    return (
+        big.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "l1",
+            "r2",
+            F.floor(pmi * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("pmi_e6"),
+        )
+        .orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

@@ -231,6 +231,12 @@ def test_bounded_shuffle_budgets(spark):
         "corpus_dsir": 6,
         # ONE bounded-key (alphabet^2) partial agg + TakeOrderedAndProject
         "text_bpe_pairs": 1,
+        # the (w1,w2) partial agg feeds the checkpoint; after it: two
+        # vocabulary-sized slot aggs + their joins back + the broadcast
+        # total + TakeOrderedAndProject
+        "text_pmi_bigrams": 7,
+        # ONE (user_id) stream-shard window + ONE map-side-combinable agg
+        "w20_late_events": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
