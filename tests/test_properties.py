@@ -638,3 +638,211 @@ def test_chunk_windows_cover_and_overlap(spark, texts):
         assert chunks[n_chunks - 1] == min(W, n - (n_chunks - 1) * S)
         # coverage: last chunk starts at (n_chunks-1)*S < n and W >= S
         assert (n_chunks - 1) * S < n
+
+
+# ------------------------------------------------- round-5 session operators
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(2, 4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_modularity_matches_bruteforce(spark, raw_edges, n_comm):
+    """modularity() vs a pure-Python reference on random graphs with
+    arbitrary (node % n_comm) community labels: exact n_nodes/e_in/d_tot
+    per community, contribution within 1 quantization unit."""
+    from plume_spark.operators.graph_metrics import modularity
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    lbl = {n: n % n_comm for n in nodes}
+    deg: dict[int, int] = {n: 0 for n in nodes}
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(edges)
+    exp: dict[int, dict[str, float]] = {}
+    for c in sorted({lbl[n] for n in nodes}):
+        members = [n for n in nodes if lbl[n] == c]
+        e_in = sum(1 for a, b in edges if lbl[a] == c and lbl[b] == c)
+        d_tot = sum(deg[n] for n in members)
+        exp[c] = {
+            "n_nodes": len(members),
+            "e_in": e_in,
+            "d_tot": d_tot,
+            "contrib": e_in / m - (d_tot / (2 * m)) ** 2,
+        }
+    e_df = spark.createDataFrame(edges, ["a", "b"])
+    l_df = spark.createDataFrame([(n, lbl[n]) for n in nodes], ["node", "label"])
+    got = {r["community"]: r for r in modularity(e_df, l_df).collect()}
+    assert set(got) == set(exp)
+    for c, ex in exp.items():
+        assert got[c]["n_nodes"] == ex["n_nodes"]
+        assert got[c]["e_in"] == ex["e_in"]
+        assert got[c]["d_tot"] == ex["d_tot"]
+        assert abs(got[c]["contrib_e10"] - round(ex["contrib"] * 1e10)) <= 1
+
+
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=60), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_pair_counts_bruteforce(spark, texts):
+    """bpe_pair_counts vs a Counter reference: identical (pair, count) rows
+    in identical (count desc, pair asc) order, including the top-k cut."""
+    from collections import Counter
+
+    from plume_spark.operators.text import bpe_pair_counts
+
+    ref: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                ref[w[i : i + 2]] += 1
+    expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = [(r["pair"], r["n_pairs"]) for r in bpe_pair_counts(df, k=5).collect()]
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user_id
+            st.integers(0, 10_000),  # ts offset seconds
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_late_events_bruteforce(spark, rows):
+    """w20_late_events' lateness rule vs a sequential replay: an event is
+    late iff its time sits > 10 min behind the running max of its user's
+    PRECEDING arrivals (exact microsecond integers)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    evs = [
+        (i, base + datetime.timedelta(seconds=off), uid, "t%d" % (uid % 2), 0.0, "{}")
+        for i, (uid, off) in enumerate(rows)
+    ]
+    exp_late: dict[str, int] = {}
+    exp_max: dict[str, int] = {}
+    exp_n: dict[str, int] = {}
+    seen: dict[int, int] = {}
+    for eid, ts, uid, etype, _v, _p in evs:
+        us = int(ts.timestamp() * 1_000_000)
+        exp_n[etype] = exp_n.get(etype, 0) + 1
+        if uid in seen:
+            late = seen[uid] - 600_000_000 - us
+            if late > 0:
+                exp_late[etype] = exp_late.get(etype, 0) + 1
+                exp_max[etype] = max(exp_max.get(etype, 0), late)
+        seen[uid] = max(seen.get(uid, us), us)
+    df = spark.createDataFrame(
+        evs, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    us_col = F.unix_micros(F.col("ts").cast("timestamp"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.max(us_col).over(w) - F.lit(600000000) - us_col
+    got = {
+        r["event_type"]: r
+        for r in df.select("event_type", late_us.alias("late_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("late_us") > 0, 1)).alias("n_late"),
+            F.max(F.when(F.col("late_us") > 0, F.col("late_us"))).alias("max_late_us"),
+        )
+        .collect()
+    }
+    for etype, n in exp_n.items():
+        assert got[etype]["n_events"] == n
+        assert got[etype]["n_late"] == exp_late.get(etype, 0)
+        if etype in exp_max:
+            assert got[etype]["max_late_us"] == exp_max[etype]
+        else:
+            assert got[etype]["max_late_us"] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-99999, 99999)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_group_kurtosis_exact_moments(spark, rows):
+    """a17's power sums vs exact Python ints on random centi-unit values,
+    and the quantized excess kurtosis within 1 unit of the float
+    reference."""
+    import __spark_entry__ as entry
+
+    evs = [(i, g, v / 100.0) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(evs, ["event_id", "g", "value"]).select(
+        F.col("g").cast("string").alias("event_type"), "value"
+    )
+    # mirror the registered query body over an in-memory frame
+    iv = F.round(F.col("value") * 100).cast("long")
+    d = df.select(
+        "event_type",
+        iv.alias("x"),
+        (iv * iv).alias("x2"),
+        (iv * iv * iv).alias("x3"),
+        ((iv * iv).cast("decimal(19,0)") * (iv * iv).cast("decimal(19,0)")).alias("x4"),
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.col("x3").cast("decimal(38,0)")).alias("s3"),
+        F.sum(F.col("x4").cast("decimal(38,0)")).alias("s4"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    got = {r["event_type"]: r for r in m.collect()}
+    groups: dict[str, list[int]] = {}
+    for _i, g, v in evs:
+        groups.setdefault(str(g), []).append(round(v * 100))
+    for g, xs in groups.items():
+        r = got[g]
+        assert int(r["s1"]) == sum(xs)
+        assert int(r["s2"]) == sum(x * x for x in xs)
+        assert int(r["s4"]) == sum(x**4 for x in xs)
+        if min(xs) != max(xs):
+            n = len(xs)
+            m1 = sum(xs) / n
+            m2 = sum(x * x for x in xs) / n - m1 * m1
+            m4 = (
+                sum(x**4 for x in xs) / n
+                - 4 * m1 * (sum(x**3 for x in xs) / n)
+                + 6 * m1 * m1 * (sum(x * x for x in xs) / n)
+                - 3 * m1**4
+            )
+            kurt = m4 / (m2 * m2) - 3.0
+            import math
+
+            spark_kurt = None
+            # recompute the registered final expression from the sums
+            nd = float(n)
+            sm1 = float(r["s1"]) / nd
+            st2 = float(r["s2"]) / nd
+            st3 = float(r["s3"]) / nd
+            st4 = float(r["s4"]) / nd
+            sm2 = st2 - sm1 * sm1
+            sm4 = st4 - 4.0 * sm1 * st3 + 6.0 * sm1 * sm1 * st2 - 3.0 * sm1**4
+            spark_kurt = math.floor((sm4 / (sm2 * sm2) - 3.0) * 10000.0 + 0.5)
+            assert abs(spark_kurt - math.floor(kurt * 10000.0 + 0.5)) <= 1
