@@ -3509,6 +3509,53 @@ def _q_text_bpe_pairs(spark, sf):
     return bpe_pair_counts(graft.load(spark, sf, "documents"), k=20)
 
 
+def _q_emb_power_iter(spark, sf):
+    """One power-iteration (von Mises) step toward the corpus's top
+    principal direction: s = A^T (A v0) over the embedding matrix with the
+    deterministic start v0 = 1 — the PCA/spectral building block that
+    iterates to the dominant eigenvector of the uncentered Gram matrix.
+
+    Determinism: embeddings quantize to integer micro-units (one
+    round-to-bigint per value, identical on both engines); the row
+    projection p_i = sum_d q_id is an int64 ARRAY fold (bounded by
+    64 dims x ~1e6 — no overflow), and s_d = sum_i q_id * p_i accumulates
+    exact decimal(38,0) — associative under any merge order.  The
+    normalized component u_e6 divides by a 64-term double norm
+    (dim-count-sized, not data-sized); its quantization carries the same
+    accepted ~ulp risk as the repo's other derived floats, while the
+    exact s rides along as the hashed contract.
+
+    Scale: per-row projection is a zero-shuffle array fold (no self-join
+    with a projection table); then ONE dim-keyed partial agg (64 keys) and
+    a 64-row broadcast norm — the whole step is one pass over the matrix,
+    which is why power iteration is THE scalable eigensolver shape."""
+    emb = graft.load(spark, sf, "embeddings")
+    t = emb.select(
+        F.expr(
+            "transform(embedding, v -> cast(round(cast(v as double) * 1000000)"
+            " as bigint))"
+        ).alias("q")
+    ).withColumn("p", F.expr("aggregate(q, 0L, (acc, x) -> acc + x)"))
+    x = t.select(F.posexplode("q").alias("dim", "qv"), "p")
+    s = x.groupBy("dim").agg(
+        F.sum((F.col("qv") * F.col("p")).cast("decimal(38,0)")).alias("s")
+    ).localCheckpoint(eager=True)  # 64 rows, 2 consumers: norm, output
+    nrm = s.agg(
+        F.sqrt(F.sum(F.col("s").cast("double") * F.col("s").cast("double"))).alias(
+            "nrm"
+        )
+    )
+    return s.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        "s",
+        F.floor(
+            F.col("s").cast("double") / F.col("nrm") * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("u_e6"),
+    )
+
+
 def _q_text_pmi_bigrams(spark, sf):
     """Top-20 adjacent-word collocations by PMI over documents — exact
     slot counts, single-ln integer-pinned PMI (see pmi_bigrams)."""
@@ -3645,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": _q_text_bpe_pairs,
         "text_pmi_bigrams": _q_text_pmi_bigrams,
         "w20_late_events": _q_w20_late_events,
+        "emb_power_iter": _q_emb_power_iter,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -6014,6 +6062,25 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_logratio
         FROM tk JOIN stats USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["emb_power_iter"] = """
+        WITH t AS (
+          SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                v -> CAST(round(v * 1000000) AS BIGINT)) AS q
+          FROM embeddings),
+        tp AS (SELECT q, CAST(list_sum(q) AS BIGINT) AS p FROM t),
+        x AS (SELECT CAST(i - 1 AS INT) AS dim, q[i] AS qv, p
+              FROM tp, (SELECT unnest(range(1,
+                    (SELECT max(len(CAST(embedding AS DOUBLE[]))) + 1
+                     FROM embeddings))) AS i)
+              WHERE i <= len(q)),
+        s AS (SELECT dim, CAST(sum(qv * p) AS DECIMAL(38,0)) AS s
+              FROM x GROUP BY dim),
+        n AS (SELECT sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS nrm
+              FROM s)
+        SELECT dim, s,
+               CAST(floor(CAST(s AS DOUBLE) / nrm * 1000000.0 + 0.5)
+                    AS BIGINT) AS u_e6
+        FROM s CROSS JOIN n"""
     sql["text_pmi_bigrams"] = """
         WITH toks AS (
           SELECT doc_id,

@@ -237,6 +237,9 @@ def test_bounded_shuffle_budgets(spark):
         "text_pmi_bigrams": 7,
         # ONE (user_id) stream-shard window + ONE map-side-combinable agg
         "w20_late_events": 2,
+        # row projection is a zero-shuffle array fold; ONE 64-key dim agg
+        # + the 64-row norm broadcast
+        "emb_power_iter": 3,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
