@@ -3596,6 +3596,55 @@ def _q_w20_late_events(spark, sf):
     )
 
 
+def _q_a18_group_corr(spark, sf):
+    """Per-group Pearson correlation between event value and event time —
+    the drift detector ("are values trending within this event class?") as
+    the quantize-then-exact-sum pattern on TWO variables: x = centi-unit
+    value (lossless int64), y = epoch seconds (exact int64), all five
+    power/cross sums exact decimal(38,0) (x*y <= 5.7e4 * 1.8e9 ~ 1e14 and
+    y*y ~ 3e18 both fit int64 per row; sums are associative under any merge
+    order).  corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2))
+    is one fixed IEEE op sequence over the exact sums with BOTH variances
+    guarded exactly via min==max, quantized floor(x*1e6+0.5) — hash-
+    portable.  Shape: ONE map-side-combinable partial agg."""
+    e = graft.load(spark, sf, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    y = F.col("ts").cast("timestamp").cast("long")
+    d = e.select(
+        "event_type",
+        x.alias("x"),
+        y.alias("y"),
+        (x * y).alias("xy"),
+        (x * x).alias("xx"),
+        (y * y).alias("yy"),
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("xy").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("xx").cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("yy").cast("decimal(38,0)")).alias("syy"),
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") * nd - sxd * syd
+    vx = F.col("sxx").cast("double") * nd - sxd * sxd
+    vy = F.col("syy").cast("double") * nd - syd * syd
+    corr_e6 = F.when(
+        (F.col("mnx") != F.col("mxx")) & (F.col("mny") != F.col("mxy")),
+        F.floor(cov / F.sqrt(vx * vy) * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    return m.select(
+        "event_type", "n", "sx", "sy", "sxy", corr_e6.alias("corr_e6")
+    )
+
+
 def _q_g16_modularity(spark, sf):
     """Newman modularity of the g6 label-propagation communities over the
     same transcript DAG (undirected reading) — the community-quality
@@ -3693,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_bigrams": _q_text_pmi_bigrams,
         "w20_late_events": _q_w20_late_events,
         "emb_power_iter": _q_emb_power_iter,
+        "a18_group_corr": _q_a18_group_corr,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -6062,6 +6112,37 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_logratio
         FROM tk JOIN stats USING (tok) CROSS JOIN tot
         GROUP BY doc_id"""
+    sql["a18_group_corr"] = """
+        WITH q AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS x,
+                 -- floor matches Spark's timestamp->long truncation on
+                 -- fractional-second events (DuckDB's double cast rounds)
+                 CAST(floor(epoch(ts)) AS BIGINT) AS y
+          FROM events),
+        m AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                     CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                     CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+                     CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+                     CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+                     min(x) AS mnx, max(x) AS mxx,
+                     min(y) AS mny, max(y) AS mxy
+              FROM q GROUP BY event_type),
+        z AS (SELECT event_type, n, sx, sy, sxy, mnx, mxx, mny, mxy,
+                     CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                     CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                     CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+              FROM m)
+        SELECT event_type, n, sx, sy, sxy,
+               CASE WHEN mnx <> mxx AND mny <> mxy
+                    THEN CAST(floor(cov / sqrt(vx * vy) * 1000000.0 + 0.5)
+                              AS BIGINT)
+               END AS corr_e6
+        FROM z"""
     sql["emb_power_iter"] = """
         WITH t AS (
           SELECT list_transform(CAST(embedding AS DOUBLE[]),

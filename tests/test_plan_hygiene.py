@@ -240,6 +240,8 @@ def test_bounded_shuffle_budgets(spark):
         # row projection is a zero-shuffle array fold; ONE 64-key dim agg
         # + the 64-row norm broadcast
         "emb_power_iter": 3,
+        # ONE map-side-combinable partial agg (the two-variable moment set)
+        "a18_group_corr": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
