@@ -3556,6 +3556,12 @@ def _q_emb_power_iter(spark, sf):
     )
 
 
+def _q_corpus_bigram_logprob(spark, sf):
+    """Interpolated bigram-LM quality score over documents (lam=0.7) —
+    the KenLM-shaped gate one rung above corpus_unigram_logprob."""
+    return corpus.bigram_logprob(graft.load(spark, sf, "documents"), lam=0.7)
+
+
 def _q_text_pmi_bigrams(spark, sf):
     """Top-20 adjacent-word collocations by PMI over documents — exact
     slot counts, single-ln integer-pinned PMI (see pmi_bigrams)."""
@@ -3743,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w20_late_events": _q_w20_late_events,
         "emb_power_iter": _q_emb_power_iter,
         "a18_group_corr": _q_a18_group_corr,
+        "corpus_bigram_logprob": _q_corpus_bigram_logprob,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -6111,6 +6118,29 @@ def oracle_sql() -> dict[str, str]:
                                 / CAST(n_raw + v AS DOUBLE))), 6) + 0.0
                  AS avg_logratio
         FROM tk JOIN stats USING (tok) CROSS JOIN tot
+        GROUP BY doc_id"""
+    sql["corpus_bigram_logprob"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents),
+        pos AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+                FROM base, unnest(range(1, len(ts))) AS t(i)
+                WHERE len(ts) >= 2),
+        uni AS (SELECT w, count(*) AS c FROM (
+                  SELECT unnest(ts) AS w FROM base) GROUP BY w),
+        big AS (SELECT w1, w2, count(*) AS c12 FROM pos GROUP BY w1, w2),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(ln(0.7 * (CAST(c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                            + 0.30000000000000004
+                              * (CAST(u2.c AS DOUBLE)
+                                 / CAST(n_tok AS DOUBLE)))), 6) AS avg_logprob
+        FROM pos
+        JOIN big USING (w1, w2)
+        JOIN uni u1 ON u1.w = pos.w1
+        JOIN uni u2 ON u2.w = pos.w2
+        CROSS JOIN tot
         GROUP BY doc_id"""
     sql["a18_group_corr"] = """
         WITH q AS (

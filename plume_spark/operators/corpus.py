@@ -650,3 +650,74 @@ def dsir_logratio(
             (F.round(F.avg(lr), 6) + F.lit(0.0)).alias("avg_logratio"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean bigram log-likelihood per doc under the corpus's own
+    interpolated bigram model — the KenLM-shaped quality gate one rung above
+    unigram_logprob: p(w2|w1) = lam * c12/c1 + (1-lam) * c2/N, averaged in
+    ln over a doc's bigram positions.  Looping or shuffled text keeps a
+    plausible unigram profile but collapses under the bigram term.
+
+    (doc_id, n_bigrams, avg_logprob) for docs with >= 2 tokens.  Unseen
+    bigrams never occur when the model is fit on the scored corpus itself;
+    the (1-lam) unigram interpolation is what keeps the score total when
+    the model is FIT ELSEWHERE and shipped as a broadcast table — same
+    join shape, frozen counts.
+
+    Scale: ONE tokenization pass feeds both the per-position bigram stream
+    and the unigram counts (array-derived, no second corpus scan); the
+    bigram/unigram count tables are vocabulary-sized partial aggs joined
+    back (planner's choice of broadcast vs shuffle); the two scalars ride
+    one broadcast row.  Float policy = unigram_logprob (avg-of-ln,
+    round(,6), summation-order risk accepted)."""
+    toks_col = F.filter(F.split(F.col(text), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks_col.alias("ts"))
+    pos = (
+        base.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .localCheckpoint(eager=True)  # 2 consumers: big counts, scoring join
+    )
+    uni = (
+        base.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # 3 consumers: c1, c2, N
+    )
+    big = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_tot = uni.agg(F.sum("c").alias("n_tok"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = (
+        F.lit(lam) * (F.col("c12").cast("double") / F.col("c1").cast("double"))
+        + F.lit(1.0 - lam)
+        * (F.col("c2").cast("double") / F.col("n_tok").cast("double"))
+    )
+    return (
+        pos.join(big, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )

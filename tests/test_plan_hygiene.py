@@ -242,6 +242,10 @@ def test_bounded_shuffle_budgets(spark):
         "emb_power_iter": 3,
         # ONE map-side-combinable partial agg (the two-variable moment set)
         "a18_group_corr": 1,
+        # bigram + unigram vocab aggs into checkpoints, the three count
+        # joins back onto the position stream, and the per-doc agg; the
+        # scalar total broadcasts
+        "corpus_bigram_logprob": 8,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
