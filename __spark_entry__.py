@@ -1433,6 +1433,19 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_ann_filtered_topk(spark, sf):
+    """Filtered vector search: exact top-10 among label % 3 == 0 vectors
+    for query vec 0 (which is NOT constrained to the filter) — the
+    metadata-predicate serving shape, pre-filtered so selectivity makes
+    the scan cheaper (see similarity.filtered_topk)."""
+    return similarity.filtered_topk(
+        graft.load(spark, sf, "embeddings"),
+        query_vec_id=0,
+        pred=F.col("label") % 3 == 0,
+        k=10,
+    )
+
+
 def _q_ann_lsh(spark, sf):
     return similarity.lsh_buckets(graft.load(spark, sf, "embeddings")).select(
         "vec_id", F.col("bucket").cast("long").alias("bucket")
@@ -3750,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_power_iter": _q_emb_power_iter,
         "a18_group_corr": _q_a18_group_corr,
         "corpus_bigram_logprob": _q_corpus_bigram_logprob,
+        "ann_filtered_topk": _q_ann_filtered_topk,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -4308,6 +4322,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE) AS cos_sim
         FROM embeddings, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+    sql["ann_filtered_topk"] = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE) AS cos_sim
+        FROM embeddings, q
+        WHERE label % 3 = 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
     sql["ann_range_search"] = """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

@@ -147,17 +147,20 @@ def brute_force_topk(
 def _query_scored(
     embeddings: DataFrame, query_vec_id: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    strategy: str = "auto",
+    strategy: str = "auto", query_from: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cos_sim): cosine of every embedding to the inlined query
-    literal — the shared scoring projection behind brute_force_topk and
-    range_search (one expression, so the two stay bit-identical)."""
+    literal — the shared scoring projection behind brute_force_topk,
+    range_search, and filtered_topk (one expression, so all stay
+    bit-identical).  ``query_from`` lets the query row come from a
+    different (e.g. unfiltered) set than the scored candidates."""
     import math
 
     # plain column fetch (no transform expression -> nothing to codegen for
     # this 1-row job); float32 -> float64 widening is exact, so driver-side
     # float() equals Spark's cast
-    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    qsrc = embeddings if query_from is None else query_from
+    qrow = qsrc.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
     if qrow is None or not qrow[0]:
         raise ValueError(f"no embedding for {id_col}={query_vec_id}")
     qv = [float(x) for x in qrow[0]]
@@ -178,6 +181,33 @@ def _query_scored(
         F.col(id_col).alias("vec_id"),
         F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sim"),
     )
+
+
+def filtered_topk(
+    embeddings: DataFrame, query_vec_id: int, pred: Column, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Filtered vector search: exact top-``k`` by cosine among the rows
+    satisfying ``pred`` (a metadata predicate) — the serving shape every
+    production vector store exposes ("nearest docs WHERE lang='en'").
+    This is PRE-filtering: the predicate prunes the scan before any
+    scoring work, so selective filters make the query CHEAPER (the
+    post-filter alternative — score all, then filter — wastes exactly the
+    filtered-out fraction and can return < k rows; with an IVF/LSH index
+    the same pre-filter applies inside each probed cell).  The query row
+    is fetched from the UNFILTERED set: the query need not satisfy the
+    predicate.
+
+    Scale: predicate + scoring fuse into one whole-stage-codegen scan
+    (the filter reaches the parquet reader when the predicate is on a
+    plain column), followed by a TakeOrderedAndProject — no shuffle
+    beyond the top-k."""
+    scored = _query_scored(
+        embeddings.filter(pred), query_vec_id, id_col, vec_col, strategy,
+        query_from=embeddings,
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
 
 
 def range_search(

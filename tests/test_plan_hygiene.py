@@ -246,6 +246,9 @@ def test_bounded_shuffle_budgets(spark):
         # joins back onto the position stream, and the per-doc agg; the
         # scalar total broadcasts
         "corpus_bigram_logprob": 8,
+        # predicate + scoring fuse into one scan; the only exchange is the
+        # TakeOrderedAndProject top-k
+        "ann_filtered_topk": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
