@@ -1433,6 +1433,15 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_ann_batch_topk(spark, sf):
+    """Batched vector search: top-3 per query for the 5-query batch
+    vec_id < 5, one broadcast + one window in a single plan (see
+    similarity.batch_topk)."""
+    return similarity.batch_topk(
+        graft.load(spark, sf, "embeddings"), n_queries=5, k=3
+    )
+
+
 def _q_ann_filtered_topk(spark, sf):
     """Filtered vector search: exact top-10 among label % 3 == 0 vectors
     for query vec 0 (which is NOT constrained to the filter) — the
@@ -3764,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_group_corr": _q_a18_group_corr,
         "corpus_bigram_logprob": _q_corpus_bigram_logprob,
         "ann_filtered_topk": _q_ann_filtered_topk,
+        "ann_batch_topk": _q_ann_batch_topk,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -4323,6 +4333,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE) AS cos_sim
         FROM embeddings, q
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+    sql["ann_batch_topk"] = """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 CAST(round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS DOUBLE)
+                   AS cos_sim
+          FROM embeddings e CROSS JOIN q),
+        ranked AS (
+          SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 3"""
     sql["ann_filtered_topk"] = """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -509,3 +509,44 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def batch_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched vector search: top-``k`` by cosine for EVERY query in a
+    query set (here the first ``n_queries`` vec_ids), in ONE plan ->
+    (q_id, rank, vec_id, cos_sim) — the amortized serving shape: a batch
+    of queries broadcast against one scan beats n_queries separate scans
+    by the scan cost times (n_queries - 1).
+
+    Scale: the dictionary-sized query set broadcasts (a nested-loop
+    broadcast join, fan-out = n_queries per candidate row); scoring is the
+    same HOF cosine as the single-query ops (identical left-to-right
+    float64 summation, so per-pair values are bit-identical to theirs);
+    ranking is one (q_id)-partitioned window over the top-k-bounded
+    stream.  At real scale the same shape rides on the IVF index: probe
+    cells per query, union, one window."""
+    q = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+        )
+    )
+    v = F.col(vec_col)
+    cos = F.round(
+        _dot_hof(v, F.col("q_emb")) / (_norm_hof(v) * _norm_hof(F.col("q_emb"))),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), vec_col)
+        .crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )

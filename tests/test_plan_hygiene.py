@@ -249,6 +249,9 @@ def test_bounded_shuffle_budgets(spark):
         # predicate + scoring fuse into one scan; the only exchange is the
         # TakeOrderedAndProject top-k
         "ann_filtered_topk": 1,
+        # the 5-row query set broadcasts; ONE (q_id) window shuffle ranks
+        # all queries in a single pass
+        "ann_batch_topk": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
