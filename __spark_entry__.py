@@ -1855,6 +1855,36 @@ def _q_stream_sessionize(spark, sf):
     )
 
 
+def _q_stream_dedup(spark, sf):
+    """Continuous near-dup dedup run as a REAL stream: documents land as
+    three parquet files (split by doc_id mod 3 — staggered crawl drops), a
+    file-source stream with maxFilesPerTrigger=1 folds each epoch into a
+    persisted DedupIndex (MERGE/append + registry, exactly-once under
+    replay), and the output is the AGGREGATED pair table read back from
+    the index.  The oracle is the full-corpus banded-MinHash SQL — so the
+    central streaming-dedup identity (union of per-epoch incremental pair
+    sets == one offline run over everything) is value-checked on every
+    gate run, not just asserted in pytest.  portable_ids=True keys the
+    minhash on the engine-portable gram ids the oracle replicates."""
+    import tempfile
+
+    from plume_spark.streaming import DedupIndex, read_document_stream, stream_dedup
+
+    _reap_stale_dirs("plume-sdedup-contract")
+    d = tempfile.mkdtemp(prefix="plume-sdedup-contract-", suffix=f"-p{os.getpid()}")
+    docs = graft.load(spark, sf, "documents")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).write.mode("append").parquet(f"{d}/in")
+    idx = DedupIndex(spark, f"{d}/index")
+    stream_dedup(
+        read_document_stream(spark, f"{d}/in", max_files_per_trigger=1),
+        idx,
+        f"{d}/ck",
+        portable_ids=True,
+    )
+    return idx.pairs.read().select("doc_a", "doc_b", "jaccard")
+
+
 def _q_dedup_incr(spark, sf):
     # incremental near-dup: docs with doc_id % 4 == 0 arrive as the "new
     # crawl batch"; the rest are the pre-built index.  Output = pairs
@@ -3774,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigram_logprob": _q_corpus_bigram_logprob,
         "ann_filtered_topk": _q_ann_filtered_topk,
         "ann_batch_topk": _q_ann_batch_topk,
+        "stream_dedup": _q_stream_dedup,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -4002,7 +4033,9 @@ _MINHASH_PARAMS = ", ".join(
 )
 
 
-def _minhash_oracle_body(verify_table: str, verify_col: str, pair_where: str = "") -> str:
+def _minhash_oracle_body(
+    verify_table: str, verify_col: str, pair_where: str = "", round_digits: int = 4
+) -> str:
     """Banding/cap/star/verify SQL shared by the full and incremental minhash
     oracles — one source of truth so a banding change cannot desynchronize
     them.  ``verify_table``/``verify_col``: the exact-Jaccard substrate
@@ -4050,7 +4083,8 @@ def _minhash_oracle_body(verify_table: str, verify_col: str, pair_where: str = "
             AND tb.{verify_col} = ta.{verify_col}
           GROUP BY c.doc_a, c.doc_b)
         SELECT doc_a, doc_b,
-               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), {round_digits}) AS DOUBLE)
+                 AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = inter.doc_a
         JOIN sizes sb ON sb.doc_id = inter.doc_b
@@ -4149,6 +4183,11 @@ def oracle_sql() -> dict[str, str]:
                     ELSE count(*) OVER (PARTITION BY text) END AS group_size
         FROM documents"""
     sql["dedup_minhash_lsh"] = _SHINGLE_CTE + _minhash_oracle_body("tok", "tok")
+    # the streamed index stores round(jaccard, 6); otherwise identical to
+    # the offline full-run pair set — that equality IS the contract
+    sql["stream_dedup"] = _SHINGLE_CTE + _minhash_oracle_body(
+        "tok", "tok", round_digits=6
+    )
     # fuzzy decon = the SAME verified pair set, filtered to cross-split
     # links — one source of truth with the dedup oracle
     sql["corpus_decon_fuzzy"] = f"""

@@ -234,7 +234,12 @@ class DedupIndex:
         return grown
 
 
-def fold_batch(index: DedupIndex, batch_df: DataFrame, tau: float = JACCARD_TAU) -> None:
+def fold_batch(
+    index: DedupIndex,
+    batch_df: DataFrame,
+    tau: float = JACCARD_TAU,
+    portable_ids: bool = False,
+) -> None:
     """Fold one batch of documents into the index: emit its near-dup pairs
     and persist its raw + derived state.  Idempotent under replay; per-call
     cost is O(batch + matched file-buckets), never O(index).  This is the
@@ -261,7 +266,9 @@ def fold_batch(index: DedupIndex, batch_df: DataFrame, tau: float = JACCARD_TAU)
         return
     dirty = index.epoch_dirty()
     index.mark_epoch_intent()
-    nsigs, ntoks = minhash_state(batch_df.join(fresh, "doc_id", "left_semi"))
+    nsigs, ntoks = minhash_state(
+        batch_df.join(fresh, "doc_id", "left_semi"), portable_ids=portable_ids
+    )
     # each consumed by candidate gen AND the index fold: materialize once
     nsigs = nsigs.localCheckpoint(eager=True)
     ntoks = ntoks.localCheckpoint(eager=True)
@@ -335,6 +342,7 @@ def stream_dedup(
     index: DedupIndex,
     checkpoint_dir: str,
     tau: float = JACCARD_TAU,
+    portable_ids: bool = False,
 ) -> dict:
     """Drain all available document files (Trigger.AvailableNow), folding
     each epoch's batch into the index via fold_batch.
@@ -354,7 +362,7 @@ def stream_dedup(
             return
         progress["epochs"] += 1
         progress["docs_in"] += n
-        fold_batch(index, batch_df, tau=tau)
+        fold_batch(index, batch_df, tau=tau, portable_ids=portable_ids)
 
     q = (
         doc_stream.writeStream.foreachBatch(_epoch)
