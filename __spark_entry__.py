@@ -3488,6 +3488,50 @@ def _q_a16_group_skewness(spark, sf):
     )
 
 
+def _q_w22_ema(spark, sf):
+    """Windowed exponential moving average (alpha=0.8 decay per step) over
+    each user's last 8 events — the classic streaming feature-engineering
+    smoother, made engine-portable by evaluating it as a FINITE window dot
+    product: the ROWS frame collects the last 8 values in frame order
+    (deterministic on both engines), and one left-to-right float fold
+    weights them by alpha^(distance from newest) and normalizes by the
+    weight sum.  The fold order is pinned by the array, never by
+    partitioning, so the quantized value hashes identically everywhere.
+    (The infinite-history EMA is the streaming form — applyInPandasWithState
+    carries the running value; this bounded form is its batch/backfill
+    twin and the one that needs no per-key state.)
+
+    Scale: ONE (user_id) window shuffle; the fold is a per-row array
+    expression over <= 8 elements — whole-stage codegen, no UDF."""
+    e = graft.load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-7, Window.currentRow)
+    )
+    vals = F.collect_list(F.col("value")).over(w)  # frame order: oldest first
+    # weight v_j by alpha^(n-1-j): newest (last) gets 1.  Left-to-right
+    # folds over the same array on both engines -> identical IEEE sums.
+    num = F.expr(
+        "aggregate(vals, cast(0.0 as double),"
+        " (acc, v) -> acc * 0.8 + cast(v as double))"
+    )
+    den = F.expr(
+        "aggregate(vals, cast(0.0 as double), (acc, v) -> acc * 0.8 + 1.0)"
+    )
+    return (
+        e.select("event_id", "user_id", vals.alias("vals"))
+        .select(
+            "event_id",
+            "user_id",
+            F.size("vals").alias("n_window"),
+            F.floor(num / den * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("ema_e6"),
+        )
+    )
+
+
 def _q_a17_group_kurtosis(spark, sf):
     """Per-group fourth-moment EXCESS KURTOSIS — the a16 quantize-then-
     exact-sum pattern extended to the 4th power sum.  Values are lossless
@@ -3805,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": _q_ann_filtered_topk,
         "ann_batch_topk": _q_ann_batch_topk,
         "stream_dedup": _q_stream_dedup,
+        "w22_ema": _q_w22_ema,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -6153,6 +6198,24 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT)
                END AS skew_e4
         FROM z"""
+    sql["w22_ema"] = """
+        WITH w AS (
+          SELECT event_id, user_id,
+                 list(value) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+          FROM events)
+        SELECT event_id, user_id, CAST(len(vals) AS INT) AS n_window,
+               -- Horner fold: acc*0.8 + v.  list_reduce seeds with the
+               -- first element, Spark's aggregate with 0.0 — identical
+               -- IEEE sequences because 0.0*0.8 + v1 == v1 exactly
+               CAST(floor(list_reduce(vals,
+                            (a, b) -> a * CAST(0.8 AS DOUBLE) + b)
+                          / list_reduce(list_transform(vals,
+                                          x -> CAST(1.0 AS DOUBLE)),
+                            (a, b) -> a * CAST(0.8 AS DOUBLE) + b)
+                          * 1000000.0 + 0.5) AS BIGINT) AS ema_e6
+        FROM w"""
     sql["a17_group_kurtosis"] = """
         WITH q AS (
           SELECT event_type,

@@ -252,6 +252,9 @@ def test_bounded_shuffle_budgets(spark):
         # the 5-row query set broadcasts; ONE (q_id) window shuffle ranks
         # all queries in a single pass
         "ann_batch_topk": 2,
+        # ONE (user_id) window shuffle; the Horner folds are per-row array
+        # expressions
+        "w22_ema": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
