@@ -4965,9 +4965,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_words AS BIGINT) AS n_words,
                CAST(n_sentences AS BIGINT) AS n_sentences,
                CAST(n_syllables AS BIGINT) AS n_syllables,
-               CAST(round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
-                                  - 84.6 * (n_syllables * 1.0 / n_words), 2)
-                    AS DOUBLE) AS flesch
+               -- floor-quantize (not round): see operators/text.py
+               -- readability — the 85.165 half-boundary knife edge
+               floor((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                              - 84.6 * (n_syllables * 1.0 / n_words))
+                     * 100.0 + 0.5) / 100.0 AS flesch
         FROM t"""
     sql["w7_retention_cohorts"] = """
         WITH f AS (SELECT user_id,

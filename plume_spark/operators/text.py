@@ -211,12 +211,19 @@ def readability(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         - F.lit(1.015) * (n_words / n_sent)
         - F.lit(84.6) * (n_syl / n_words)
     )
+    # floor(x*100 + 0.5) / 100.0 instead of round(x, 2): a doc landing
+    # EXACTLY on the centi-unit half boundary (e.g. 18 words, 1 sentence,
+    # 22 syllable groups -> 85.165) rounds differently under Spark's
+    # BigDecimal HALF_UP vs DuckDB's binary-double round — the same
+    # knife edge the a16 skewness repair closed.  Plain IEEE ops are
+    # bit-identical on both engines (found by the sf0.1 full sweep).
+    flesch_q = F.floor(flesch * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
     return df.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),
         n_sent.alias("n_sentences"),
         n_syl.alias("n_syllables"),
-        F.round(flesch, 2).alias("flesch"),
+        flesch_q.alias("flesch"),
     )
 
 
