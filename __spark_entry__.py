@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plume_spark import graft
+from plume_spark.functions.quantize import qround
 from plume_spark.operators import corpus, dedup, similarity, text, traversal
 from plume_spark.operators.extraction import extract_changelog, split_changelog
 from plume_spark.pipeline import run_pipeline, triples_with_names
@@ -333,7 +334,7 @@ def _q_emb_outliers(spark, sf):
     return (
         d2.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("label", "vec_id", F.round("d2x", 6).alias("dist2"), "rank")
+        .select("label", "vec_id", qround(F.col("d2x"), 6).alias("dist2"), "rank")
     )
 
 
@@ -768,7 +769,7 @@ def _q_w8_transition_matrix(spark, sf):
         "from_type",
         "to_type",
         "n",
-        F.round(
+        qround(
             F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 4
         ).alias("p"),
     )
@@ -1268,7 +1269,7 @@ def _q_dedup_exact(spark, sf):
 def _q_dedup_minhash(spark, sf):
     d = graft.load(spark, sf, "documents")
     out = dedup.minhash_dedup(d, portable_ids=True)
-    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("doc_a", "doc_b", qround(F.col("jaccard"), 4).alias("jaccard"))
 
 
 def _q_dedup_simhash(spark, sf):
@@ -1278,7 +1279,7 @@ def _q_dedup_simhash(spark, sf):
 def _q_dedup_ngram(spark, sf):
     d = graft.load(spark, sf, "documents")
     out = dedup.ngram_jaccard_pairs(d, n=3, tau=0.5)
-    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("doc_a", "doc_b", qround(F.col("jaccard"), 4).alias("jaccard"))
 
 
 def _q_dedup_embedding(spark, sf):
@@ -1304,7 +1305,7 @@ def _q_dedup_lsh_recall(spark, sf):
     plan unchanged."""
     d = graft.load(spark, sf, "documents")
     exact = dedup.ngram_jaccard_pairs(d, n=3, tau=0.5).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+        "doc_a", "doc_b", qround(F.col("jaccard"), 4).alias("jaccard")
     )
     approx = dedup.minhash_dedup(d, portable_ids=True).select(
         "doc_a", "doc_b", F.lit(1).alias("_f")
@@ -1895,7 +1896,7 @@ def _q_dedup_incr(spark, sf):
     osigs, otoks = dedup.minhash_state(old, portable_ids=True)
     nsigs, ntoks = dedup.minhash_state(new, portable_ids=True)
     out = dedup.incremental_neardup(osigs, otoks, nsigs, ntoks)
-    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("doc_a", "doc_b", qround(F.col("jaccard"), 4).alias("jaccard"))
 
 
 def _q_dedup_groups(spark, sf):
@@ -2047,7 +2048,7 @@ def _q_w11_week_over_week(spark, sf):
         "week",
         "n",
         prev.alias("prev_n"),
-        F.round((F.col("n") - prev).cast("double") / prev, 6).alias("wow_change"),
+        qround((F.col("n") - prev).cast("double") / prev, 6).alias("wow_change"),
     )
 
 
@@ -2179,7 +2180,7 @@ def _q_kg_sym_preds(spark, sf):
         "pred",
         "n_triples",
         F.coalesce(F.col("n_sym"), F.lit(0)).alias("n_sym"),
-        F.round(
+        qround(
             F.coalesce(F.col("n_sym"), F.lit(0)).cast("double") / F.col("n_triples"),
             6,
         ).alias("sym_ratio"),
@@ -2334,7 +2335,7 @@ def _q_w16_gini(spark, sf):
     return r.agg(
         cnt.alias("n_users"),
         F.sum("n").alias("total_events"),
-        F.round(
+        qround(
             (F.lit(2.0) * F.sum(F.col("i") * F.col("n")))
             / (cnt * F.sum("n"))
             - (cnt + F.lit(1.0)) / cnt,
@@ -2415,7 +2416,7 @@ def _pq_codes(emb):
     return d.select(
         "vec_id",
         *[bs[j]["c"].alias(f"code_{j}") for j in range(4)],
-        F.round(bs[0]["d"] + bs[1]["d"] + bs[2]["d"] + bs[3]["d"], 6).alias("qerr"),
+        qround(bs[0]["d"] + bs[1]["d"] + bs[2]["d"] + bs[3]["d"], 6).alias("qerr"),
     )
 
 
@@ -2470,7 +2471,7 @@ def _q_corpus_decon_fuzzy(spark, sf):
     return pairs.filter(ev_a != ev_b).select(
         F.when(ev_b, F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
         F.when(ev_b, F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
-        F.round("jaccard", 4).alias("jaccard"),
+        qround(F.col("jaccard"), 4).alias("jaccard"),
     )
 
 
@@ -2516,8 +2517,8 @@ def _q_corpus_gopher_rules(spark, sf):
     return r.select(
         "doc_id",
         "n_tokens",
-        F.round("_mwl", 6).alias("mean_word_len"),
-        F.round("_sf", 6).alias("stop_frac"),
+        qround(F.col("_mwl"), 6).alias("mean_word_len"),
+        qround(F.col("_sf"), 6).alias("stop_frac"),
         (ok_len & ok_mwl & ok_stop).alias("passed"),
         reasons.alias("fail_reasons"),
     )
@@ -2556,7 +2557,7 @@ def _q_kg_degree_hist(spark, sf):
         "bucket",
         "n_entities",
         "total_deg",
-        F.round(F.col("n_entities") / F.sum("n_entities").over(w), 6).alias("share"),
+        qround(F.col("n_entities") / F.sum("n_entities").over(w), 6).alias("share"),
     )
 
 
@@ -2587,7 +2588,7 @@ def _q_corpus_ccnet_cut(spark, sf):
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens_total"),
-        F.round(
+        qround(
             F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -2817,7 +2818,7 @@ def _q_ann_pq_adc(spark, sf):
         codes = codes.join(F.broadcast(lj), f"code_{j}")
     adc = codes.select(
         "vec_id",
-        F.round(
+        qround(
             F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
         ).alias("adc_dist"),
     )
@@ -3183,7 +3184,7 @@ def _ivf_adc_chain(emb):
         codes.select(
             "vec_id",
             "cent_id",
-            F.round(
+            qround(
                 F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
             ).alias("adc_dist"),
         )
@@ -3423,7 +3424,7 @@ def _q_kg_rule_confidence(spark, sf):
         "consequent",
         "support",
         "n_antecedent",
-        F.round(
+        qround(
             F.col("support").cast("double") / F.col("n_antecedent"), 6
         ).alias("confidence"),
     )
@@ -4081,6 +4082,7 @@ _MINHASH_PARAMS = ", ".join(
 def _minhash_oracle_body(
     verify_table: str, verify_col: str, pair_where: str = "", round_digits: int = 4
 ) -> str:
+    q_scale = float(10**round_digits)
     """Banding/cap/star/verify SQL shared by the full and incremental minhash
     oracles — one source of truth so a banding change cannot desynchronize
     them.  ``verify_table``/``verify_col``: the exact-Jaccard substrate
@@ -4128,7 +4130,8 @@ def _minhash_oracle_body(
             AND tb.{verify_col} = ta.{verify_col}
           GROUP BY c.doc_a, c.doc_b)
         SELECT doc_a, doc_b,
-               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), {round_digits}) AS DOUBLE)
+               CAST(floor((i * 1.0 / (sa.sz + sb.sz - i))
+                          * {q_scale} + 0.5) / {q_scale} AS DOUBLE)
                  AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = inter.doc_a
@@ -4264,8 +4267,8 @@ def oracle_sql() -> dict[str, str]:
                  sf >= 0.03 AS ok_stop
           FROM s)
         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-               round(mwl, 6) AS mean_word_len,
-               round(sf, 6) AS stop_frac,
+               floor((mwl) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+               floor((sf) * 1000000.0 + 0.5) / 1000000.0 AS stop_frac,
                ok_len AND ok_mwl AND ok_stop AS passed,
                coalesce(array_to_string(list_filter(
                  [CASE WHEN NOT ok_len THEN 'short' END,
@@ -4300,7 +4303,7 @@ def oracle_sql() -> dict[str, str]:
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
         SELECT doc_a, doc_b,
-               CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+               CAST(floor((i * 1.0 / (sa.sz + sb.sz - i)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
@@ -4334,8 +4337,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                len(toks) AS n_tokens,
                len(list_distinct(toks)) AS n_distinct_tokens,
-               CAST(round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
-                          / greatest(len(toks), 1), 4) AS DOUBLE) AS avg_token_len,
+               CAST(floor((list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / greatest(len(toks), 1)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS avg_token_len,
                len(subtoks) AS n_subtokens
         FROM t"""
     stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
@@ -4352,13 +4354,9 @@ def oracle_sql() -> dict[str, str]:
                  len(list_filter(toks, x -> list_contains([{stop_list}], lower(x)))) AS n_stop
           FROM t)
         SELECT doc_id,
-               CAST(round(n_stop * 1.0 / n_tok, 4) AS DOUBLE) AS stopword_ratio,
-               CAST(round(n_punct * 1.0 / greatest(length(text), 1), 4) AS DOUBLE) AS punct_ratio,
-               CAST(round(
-                 (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END)
-                 + least(n_stop * 1.0 / n_tok, 0.3)
-                 + (CASE WHEN n_punct * 1.0 / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END),
-               4) AS DOUBLE) AS quality
+               CAST(floor((n_stop * 1.0 / n_tok) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS stopword_ratio,
+               CAST(floor((n_punct * 1.0 / greatest(length(text), 1)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS punct_ratio,
+               CAST(floor(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END) + least(n_stop * 1.0 / n_tok, 0.3) + (CASE WHEN n_punct * 1.0 / greatest(length(text), 1) < 0.1 THEN 0.3 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS quality
         FROM m"""
 
     sql["text_quality"] = _quality_select()
@@ -4809,8 +4807,7 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_entities, CAST(sum(deg) AS BIGINT) AS total_deg
               FROM deg GROUP BY 1)
         SELECT bucket, n_entities, total_deg,
-               CAST(round(n_entities * 1.0 / sum(n_entities) OVER (), 6)
-                    AS DOUBLE) AS share
+               floor((n_entities * 1.0 / sum(n_entities) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS share
         FROM g"""
     sql["w15_interarrival"] = """
         WITH g AS (
@@ -4861,7 +4858,7 @@ def oracle_sql() -> dict[str, str]:
                               AND d2.obj_name = d.subj_name)
               GROUP BY d.pred)
         SELECT a.pred, a.n_triples, coalesce(s.n_sym, 0) AS n_sym,
-               round(CAST(coalesce(s.n_sym, 0) AS DOUBLE) / a.n_triples, 6)
+               floor((CAST(coalesce(s.n_sym, 0) AS DOUBLE) / a.n_triples) * 1000000.0 + 0.5) / 1000000.0
                  AS sym_ratio
         FROM a LEFT JOIN s ON s.pred = a.pred"""
     sql["kg_current_facts"] = f"""
@@ -4951,8 +4948,7 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT from_type, to_type, count(*) AS n FROM t
               WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
         SELECT from_type, to_type, n,
-               CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4)
-                    AS DOUBLE) AS p
+               floor((n * 1.0 / sum(n) OVER (PARTITION BY from_type)) * 10000.0 + 0.5) / 10000.0 AS p
         FROM c"""
     sql["text_readability"] = """
         WITH t AS (
@@ -5125,8 +5121,7 @@ def oracle_sql() -> dict[str, str]:
           FROM t)
         SELECT doc_id, len(grams) AS n_ngrams,
                CASE WHEN len(grams) > 0
-                    THEN round((len(grams) - len(list_distinct(grams)))
-                               / CAST(len(grams) AS DOUBLE), 6)
+                    THEN floor(((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                     ELSE 0.0 END AS rep_frac
         FROM g"""
     sql["corpus_unigram_logprob"] = """
@@ -5150,8 +5145,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lp, thr)
         SELECT bucket, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
-               round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(*), 6) AS mean_logprob
+               floor((CAST(sum(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_logprob
         FROM b GROUP BY bucket"""
     sql["corpus_quality_tiers"] = f"""
         WITH lp AS ({sql['corpus_unigram_logprob']})
@@ -5203,7 +5198,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY label
                                         ORDER BY d2x DESC, vec_id ASC) AS rank
               FROM d2)
-        SELECT label, vec_id, CAST(round(d2x, 6) AS DOUBLE) AS dist2, rank
+        SELECT label, vec_id, CAST(floor((d2x) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS dist2, rank
         FROM r WHERE rank <= 10"""
     sql["w4_sliding_rate"] = """
         SELECT event_id, user_id,
@@ -5336,9 +5331,9 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY event_type, date_trunc('week', ts))
         SELECT event_type, week, n,
                lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
-               CAST(round((n - lag(n) OVER (PARTITION BY event_type ORDER BY week))
+               floor(((n - lag(n) OVER (PARTITION BY event_type ORDER BY week))
                           / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week)
-                                 AS DOUBLE), 6) AS DOUBLE) AS wow_change
+                                 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS wow_change
         FROM a"""
     sql["w9_peak_concurrency"] = peak_concurrency_oracle_sql(
         f"""WITH sx AS ({sql['w3_sessionize']}),
@@ -5371,7 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT grp, bucket, count(*) AS n_docs, sum(len) AS total_chars
               FROM a GROUP BY grp, bucket)
         SELECT grp, bucket, n_docs, CAST(total_chars AS BIGINT) AS total_chars,
-               CAST(round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY grp), 6)
+               CAST(floor((n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY grp)) * 1000000.0 + 0.5) / 1000000.0
                     AS DOUBLE) AS share
         FROM g"""
     from plume_spark.operators.graph_metrics import triangle_oracle_sql
@@ -5532,10 +5527,7 @@ def oracle_sql() -> dict[str, str]:
                max(CASE WHEN j = 1 THEN cent_id END) AS code_1,
                max(CASE WHEN j = 2 THEN cent_id END) AS code_2,
                max(CASE WHEN j = 3 THEN cent_id END) AS code_3,
-               round(max(CASE WHEN j = 0 THEN d END)
-                     + max(CASE WHEN j = 1 THEN d END)
-                     + max(CASE WHEN j = 2 THEN d END)
-                     + max(CASE WHEN j = 3 THEN d END), 6) AS qerr
+               floor((max(CASE WHEN j = 0 THEN d END) + max(CASE WHEN j = 1 THEN d END) + max(CASE WHEN j = 2 THEN d END) + max(CASE WHEN j = 3 THEN d END)) * 1000000.0 + 0.5) / 1000000.0 AS qerr
         FROM best WHERE rk = 1 GROUP BY vec_id"""
     # CMS oracle generated from the SAME geometry constants as the query
     _cms_b = " UNION ALL ".join(
@@ -5576,9 +5568,9 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT n, row_number() OVER (ORDER BY n ASC, user_id ASC) AS i
               FROM per)
         SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS total_events,
-               round(CAST(2.0 AS DOUBLE) * sum(i * n)
+               floor((CAST(2.0 AS DOUBLE) * sum(i * n)
                        / (count(*) * sum(n))
-                     - (count(*) + CAST(1.0 AS DOUBLE)) / count(*), 6)
+                     - (count(*) + CAST(1.0 AS DOUBLE)) / count(*)) * 1000000.0 + 0.5) / 1000000.0
                  AS gini
         FROM r"""
     sql["a13_mad"] = """
@@ -5632,7 +5624,7 @@ def oracle_sql() -> dict[str, str]:
         hits AS (SELECT doc_id, count(*) AS n_overlap
                  FROM tg JOIN eg USING (tok) GROUP BY doc_id)
         SELECT h.doc_id, s.n_grams, h.n_overlap,
-               round(h.n_overlap / CAST(s.n_grams AS DOUBLE), 6) AS overlap_frac
+               floor((h.n_overlap / CAST(s.n_grams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS overlap_frac
         FROM hits h JOIN sizes s USING (doc_id)"""
     )
     sql["corpus_mix_sample"] = f"""
@@ -5677,7 +5669,7 @@ def oracle_sql() -> dict[str, str]:
               FROM gg a JOIN gg b ON a.tok = b.tok AND a.doc_id <> b.doc_id
               GROUP BY a.doc_id, b.doc_id)
         SELECT p.doc_a, p.doc_b, s.n_grams_a, p.n_common,
-               CAST(round(p.n_common / CAST(s.n_grams_a AS DOUBLE), 6) AS DOUBLE)
+               CAST(floor((p.n_common / CAST(s.n_grams_a AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
                  AS containment
         FROM p JOIN sizes s ON s.doc_id = p.doc_a
         WHERE p.n_common >= 0.5 * s.n_grams_a"""
@@ -5694,8 +5686,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE i <= len(toks) - 7),
         gdf AS (SELECT tok, count(*) AS n_docs FROM g GROUP BY tok)
         SELECT doc_id, count(*) AS n_ngrams,
-               round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
-                     / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+               floor((sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
         FROM g JOIN gdf USING (tok) GROUP BY doc_id"""
     # novelty shares dupe_ngrams' gram CTE; first occurrence = min doc_id
     sql["corpus_ngram_novelty"] = """
@@ -5712,8 +5703,7 @@ def oracle_sql() -> dict[str, str]:
         gmin AS (SELECT tok, min(doc_id) AS first_doc FROM g GROUP BY tok)
         SELECT doc_id, count(*) AS n_ngrams,
                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-               round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-                     / CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+               floor((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS novelty_frac
         FROM g JOIN gmin USING (tok) GROUP BY doc_id"""
     from plume_spark.operators.text import PII_DIGITS, PII_EMAIL
 
@@ -5747,9 +5737,9 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(greatest(len(toks), 1) AS DOUBLE) / 10.0 AS f_word
               FROM t)
         SELECT doc_id,
-               round(f_len, 6) AS f_len,
-               round(f_stop, 6) AS f_stop,
-               round(f_word, 6) AS f_word,
+               floor((f_len) * 1000000.0 + 0.5) / 1000000.0 AS f_len,
+               floor((f_stop) * 1000000.0 + 0.5) / 1000000.0 AS f_stop,
+               floor((f_word) * 1000000.0 + 0.5) / 1000000.0 AS f_word,
                round(1.0 / (1.0 + exp(-({LOGREG_BIAS}
                      + {LOGREG_W['f_len']} * f_len
                      + {LOGREG_W['f_stop']} * f_stop
@@ -5824,7 +5814,7 @@ def oracle_sql() -> dict[str, str]:
         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
         SELECT s.doc_id, s.n_shingles,
                coalesce(m.n_common, 0) AS n_common,
-               round(coalesce(m.n_common, 0) / CAST(s.n_shingles AS DOUBLE), 6)
+               floor((coalesce(m.n_common, 0) / CAST(s.n_shingles AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                  AS boilerplate_frac
         FROM sizes s LEFT JOIN marked m USING (doc_id)"""
     _poly_docid = (
@@ -5959,7 +5949,7 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT v AS qvec FROM e WHERE vec_id = 9),
         lut AS (SELECT cent_id, {_adc_d} FROM cents CROSS JOIN q)
         SELECT c.vec_id,
-               round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc_dist
+               floor((l0.d0 + l1.d1 + l2.d2 + l3.d3) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
         FROM codes c
         JOIN lut l0 ON l0.cent_id = c.code_0
         JOIN lut l1 ON l1.cent_id = c.code_1
@@ -6076,7 +6066,7 @@ def oracle_sql() -> dict[str, str]:
         m AS (SELECT a.vec_id, a.cent_id
               FROM assigned a JOIN probe p USING (cent_id))
         SELECT m.vec_id, m.cent_id,
-               round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc_dist
+               floor((l0.d0 + l1.d1 + l2.d2 + l3.d3) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
         FROM m JOIN codes c ON c.vec_id = m.vec_id
         JOIN lut l0 ON l0.lut_cent = c.code_0
         JOIN lut l1 ON l1.lut_cent = c.code_1
@@ -6171,7 +6161,7 @@ def oracle_sql() -> dict[str, str]:
         np AS (SELECT pred AS antecedent, count(*) AS n_antecedent
                FROM d GROUP BY pred)
         SELECT p.antecedent, p.consequent, p.support, np.n_antecedent,
-               round(CAST(p.support AS DOUBLE) / np.n_antecedent, 6)
+               floor((CAST(p.support AS DOUBLE) / np.n_antecedent) * 1000000.0 + 0.5) / 1000000.0
                  AS confidence
         FROM pairs p JOIN np USING (antecedent)"""
     sql["a16_group_skewness"] = """

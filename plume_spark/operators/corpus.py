@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from plume_spark.functions.quantize import qround
 from plume_spark.operators.dedup import poly_hash, shingles
 
 # deterministic eval-subset selector for the contract decontamination query:
@@ -72,7 +73,7 @@ def ngram_overlap(
             "doc_id",
             "n_grams",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
+            qround(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
         )
     )
 
@@ -110,7 +111,7 @@ def boilerplate_score(
             "doc_id",
             "n_shingles",
             F.coalesce("n_common", F.lit(0)).alias("n_common"),
-            F.round(F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6).alias(
+            qround(F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6).alias(
                 "boilerplate_frac"
             ),
         )
@@ -299,7 +300,7 @@ def dupe_ngram_rate(
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ngrams"),
-            F.round(
+            qround(
                 F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)) / F.count("*"), 6
             ).alias("dup_frac"),
         )
@@ -354,7 +355,7 @@ def repetition_score(
     n_grams = F.size(grams)
     rep = F.when(
         n_grams > 0,
-        F.round((n_grams - F.size(F.array_distinct(grams))) / n_grams, 6),
+        qround((n_grams - F.size(F.array_distinct(grams))) / n_grams, 6),
     ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -389,7 +390,7 @@ def ngram_novelty(
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
             novel.alias("n_novel"),
-            F.round(novel / F.count(F.lit(1)), 6).alias("novelty_frac"),
+            qround(novel / F.count(F.lit(1)), 6).alias("novelty_frac"),
         )
     )
 
@@ -421,7 +422,7 @@ def length_histogram(
         "bucket",
         "n_docs",
         "total_chars",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+        qround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
     )
 
 
@@ -475,7 +476,7 @@ def containment_pairs(
             "doc_b",
             "n_grams_a",
             "n_common",
-            F.round(F.col("n_common") / F.col("n_grams_a"), 6).alias("containment"),
+            qround(F.col("n_common") / F.col("n_grams_a"), 6).alias("containment"),
         )
     )
 

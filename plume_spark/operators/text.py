@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plume_spark.functions.quantize import qround
+
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 # marker lexicons for the n-gram/stopword language-ID heuristic
@@ -33,7 +35,7 @@ def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(
+        qround(
             F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
             / F.greatest(F.size(toks), F.lit(1)),
             4,
@@ -53,9 +55,9 @@ def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     len_ok = (F.length(F.col(text)) >= 50) & (F.length(F.col(text)) <= 5000)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
-        F.round(n_punct / F.greatest(F.length(F.col(text)), F.lit(1)), 4).alias("punct_ratio"),
-        F.round(
+        qround(n_stop / n_tok, 4).alias("stopword_ratio"),
+        qround(n_punct / F.greatest(F.length(F.col(text)), F.lit(1)), 4).alias("punct_ratio"),
+        qround(
             (F.when(len_ok, 0.4).otherwise(0.0))
             + F.least(n_stop / n_tok, F.lit(0.3)) * 1.0
             + F.when(
@@ -151,9 +153,9 @@ def quality_logreg(df: DataFrame, text: str = "text", id_col: str = "doc_id") ->
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.round(f_len, 6).alias("f_len"),
-        F.round(f_stop, 6).alias("f_stop"),
-        F.round(f_word, 6).alias("f_word"),
+        qround(f_len, 6).alias("f_len"),
+        qround(f_stop, 6).alias("f_stop"),
+        qround(f_word, 6).alias("f_word"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
 

@@ -307,8 +307,10 @@ def fold_batch(
     ).join(stored_part, "doc_id", "left_semi")
     toks = ntoks.unionByName(idx_toks).withColumnRenamed("tok_id", "tok")
     new_pairs = jaccard_verify(cand, toks, tau=tau).localCheckpoint(eager=True)
+    from plume_spark.functions.quantize import qround
+
     rounded = new_pairs.select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        "doc_a", "doc_b", qround(F.col("jaccard"), 6).alias("jaccard")
     )
     # pairs first, registration last.  Clean epoch (no marker on entry):
     # every sink row derives from `fresh` docs, so its key cannot exist in
