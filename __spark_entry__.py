@@ -1443,6 +1443,63 @@ def _q_ann_batch_topk(spark, sf):
     )
 
 
+def _q_ann_recall_curve(spark, sf):
+    """The recall-vs-cost CURVE for IVF probing: for n_probe in (1, 2, 4),
+    the candidate-set size the probe pays and how many of the exact top-10
+    it recovers — the table an operator actually tunes nprobe from
+    (ann_lsh_recall and ann_multiprobe_topk pin the two endpoints; this
+    measures the middle).  All three outputs are exact int64 counts —
+    nothing float-rounded — so the curve is hash-portable by construction.
+
+    Scale: ONE assignment pass shared by all three probe levels (the
+    centroid table broadcasts; members-only scans per level), three
+    top-10 TakeOrderedAndProject's, and count aggregates — the per-level
+    cost is the probed fraction of one scan, which is the point."""
+    emb = graft.load(spark, sf, "embeddings")
+    # the three tiny shared tables (10-row exact baseline, 8-row ranked
+    # cells, member assignment) checkpoint once — every probe level reuses
+    # them instead of re-deriving its own copy
+    exact10 = (
+        similarity.brute_force_topk(emb, 0, k=10)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    assigned, cents, cos = similarity.ivf_assign(emb)
+    assigned = assigned.localCheckpoint(eager=True)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    ranked_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", cos(F.col("cvec"), F.col("qvec")).alias("sim"))
+        .orderBy(F.col("sim").desc(), "cent_id")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for np_ in (1, 2, 4):
+        cells = ranked_cells.limit(np_).select("cent_id")
+        cand = assigned.join(F.broadcast(cells), "cent_id")
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        top = (
+            cand.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id", F.round(cos(F.col("emb"), F.col("qvec")), 4).alias("c")
+            )
+            .orderBy(F.col("c").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        hit = top.join(exact10, "vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+        row = (
+            n_cand.crossJoin(hit)
+            .select(
+                F.lit(np_).alias("n_probe"),
+                "n_candidates",
+                "n_hit",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _q_ann_filtered_topk(spark, sf):
     """Filtered vector search: exact top-10 among label % 3 == 0 vectors
     for query vec 0 (which is NOT constrained to the filter) — the
@@ -3851,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": _q_ann_batch_topk,
         "stream_dedup": _q_stream_dedup,
         "w22_ema": _q_w22_ema,
+        "ann_recall_curve": _q_ann_recall_curve,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -4578,6 +4636,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qvec), 4) AS DOUBLE) AS cos_sim
         FROM assigned a JOIN probe USING (cent_id), q
         ORDER BY cos_sim DESC, a.vec_id LIMIT 10"""
+    _ivf_curve_cte = """
+        WITH cents AS (
+          SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                              c.cent_id) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rk = 1),
+        exact10 AS (
+          SELECT vec_id FROM (
+            SELECT vec_id,
+                   CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qvec), 4) AS DOUBLE) AS cs
+            FROM embeddings, q ORDER BY cs DESC, vec_id LIMIT 10)),"""
+
+    def _ivf_curve_level(np_: int) -> str:
+        return f"""
+        probe{np_} AS (
+          SELECT cent_id FROM cents, q
+          ORDER BY list_cosine_similarity(cvec, qvec) DESC, cent_id LIMIT {np_}),
+        cand{np_} AS (
+          SELECT a.vec_id, a.embedding FROM assigned a JOIN probe{np_} USING (cent_id)),
+        top{np_} AS (
+          SELECT vec_id FROM (
+            SELECT c.vec_id,
+                   CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qvec), 4) AS DOUBLE) AS cs
+            FROM cand{np_} c, q ORDER BY cs DESC, c.vec_id LIMIT 10))"""
+
+    sql["ann_recall_curve"] = (
+        _ivf_curve_cte
+        + ",".join(_ivf_curve_level(n) for n in (1, 2, 4))
+        + """
+        SELECT * FROM ("""
+        + " UNION ALL ".join(
+            f"""
+        SELECT {n} AS n_probe,
+               (SELECT count(*) FROM cand{n}) AS n_candidates,
+               (SELECT count(*) FROM top{n} t JOIN exact10 e USING (vec_id))
+                 AS n_hit"""
+            for n in (1, 2, 4)
+        )
+        + ")"
+    )
     sql["ann_multiprobe_topk"] = """
         WITH cents AS (
           SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec

@@ -255,6 +255,12 @@ def test_bounded_shuffle_budgets(spark):
         # ONE (user_id) window shuffle; the Horner folds are per-row array
         # expressions
         "w22_ema": 1,
+        # assignment/cells/exact-top-10 run eagerly (checkpointed); per
+        # probe level the plan carries ~8 exchanges, ALL of them tiny-
+        # table broadcasts or single-row count aggs (cells broadcast,
+        # 10-row hit join, two 1-row crossJoin broadcasts, two
+        # SinglePartition aggs) x 3 levels — nothing data-sized shuffles
+        "ann_recall_curve": 24,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
