@@ -3546,6 +3546,25 @@ def _q_a16_group_skewness(spark, sf):
     )
 
 
+def _q_a19_user_entropy(spark, sf):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity read (bots/loops score near 0, organic usage
+    higher): H = ln(n) - sum(c*ln c)/n from EXACT per-type counts, the
+    text_word_entropy contract shape over the events stream.  Two
+    map-side-combinable partial aggs ((user, type) counts -> per-user
+    fold); the ln terms carry word_entropy's accepted irrational-value
+    policy (no exact-rational boundary exists for ln of integers > 1)."""
+    e = graft.load(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
+
+
 def _q_w22_ema(spark, sf):
     """Windowed exponential moving average (alpha=0.8 decay per step) over
     each user's last 8 events — the classic streaming feature-engineering
@@ -3909,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "w22_ema": _q_w22_ema,
         "ann_recall_curve": _q_ann_recall_curve,
+        "a19_user_entropy": _q_a19_user_entropy,
         # --- never driver-checked (rounds 1-4) — rotation lead block ----
         "w10_zscore_outliers": _q_w10_zscore_outliers,
         "text_word_entropy": _q_text_word_entropy,
@@ -6296,6 +6316,16 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT)
                END AS skew_e4
         FROM z"""
+    sql["a19_user_entropy"] = """
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY user_id, event_type)
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               count(*) AS n_types,
+               CAST(round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS DOUBLE)
+                 AS entropy
+        FROM c GROUP BY user_id"""
     sql["w22_ema"] = """
         WITH w AS (
           SELECT event_id, user_id,

@@ -261,6 +261,9 @@ def test_bounded_shuffle_budgets(spark):
         # 10-row hit join, two 1-row crossJoin broadcasts, two
         # SinglePartition aggs) x 3 levels — nothing data-sized shuffles
         "ann_recall_curve": 24,
+        # two map-side-combinable partial aggs, same shuffle twice
+        # ((user,type) then (user))
+        "a19_user_entropy": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, name)
